@@ -1,0 +1,30 @@
+import os
+import sys
+
+# TPU sharding tests run on a virtual 8-device CPU mesh; set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+REFERENCE_IMAGES = os.path.join(REFERENCE_DIR, "images")
+REFERENCE_BINARY = "/tmp/refbuild/lepton"
+
+
+@pytest.fixture(scope="session")
+def ref_images():
+    if not os.path.isdir(REFERENCE_IMAGES):
+        pytest.skip("reference images not available")
+    return REFERENCE_IMAGES
+
+
+@pytest.fixture(scope="session")
+def ref_binary():
+    if not os.path.exists(REFERENCE_BINARY):
+        pytest.skip("reference lepton binary not built")
+    return REFERENCE_BINARY
