@@ -1,0 +1,1507 @@
+/* leptonc: native hot loops for the lepton_tpu host runtime.
+ *
+ * Implements the per-segment token codec (VPX bool coder + adaptive model +
+ * neighbor contexts) and the JPEG Huffman scan decode / re-emit, operating
+ * on flat arrays shared with Python via ctypes.  Semantics are the proven
+ * bit-exact Python implementation in lepton_tpu/{codec,jpeg,model}; layout
+ * contracts (model arena, raster planes, handoffs) are identical.
+ *
+ * Reference parity notes cite dropbox/lepton files (see SURVEY.md).
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define EXPORT __attribute__((visibility("default")))
+
+/* ---------------------------------------------------------------- tables */
+
+static const uint8_t ZIGZAG_TO_RASTER[64] = {
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63};
+
+static const uint8_t UNZIGZAG49[49] = {
+    9, 10,
+    17, 25, 18, 11,
+    12, 19, 26, 33, 41, 34,
+    27, 20, 13, 14, 21, 28,
+    35, 42, 49, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63};
+
+static const uint8_t NONZERO_TO_BIN[50] = {
+    0, 1, 2, 3, 4, 4, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 7, 7, 7, 7,
+    8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9,
+    9, 9, 9, 9, 9, 9, 9, 9};
+
+static uint8_t VPX_NORM[256];
+
+__attribute__((constructor))
+static void init_vpx_norm(void) {
+    VPX_NORM[0] = 0;
+    for (int v = 1; v < 256; ++v) {
+        int n = 0, x = v;
+        while (x < 128) { x <<= 1; ++n; }
+        VPX_NORM[v] = (uint8_t)n;
+    }
+}
+
+/* ------------------------------------------------------ model arena layout
+ * Must match lepton_tpu/model/tables.py TABLE_SHAPES order. */
+enum {
+    MAX_EXPONENT = 11,
+    COEF_BITS = 10,
+    NNZ_BINS = 10,
+    RESID_FLOOR = 7,
+    NUMLEN = 12,
+
+    OFF_NZ7x7 = 0,                         /* [2][26][6][32]   */
+    OFF_NZ1x8 = OFF_NZ7x7 + 2*26*6*32,     /* [2][8][8][3][4]  */
+    OFF_NZ8x1 = OFF_NZ1x8 + 2*8*8*3*4,
+    OFF_RESID = OFF_NZ8x1 + 2*8*8*3*4,     /* [2][64][10][10]  */
+    OFF_RESID_DC = OFF_RESID + 2*64*10*10, /* [12][10]         */
+    OFF_THRESH = OFF_RESID_DC + 12*10,     /* [2][256][8][128] */
+    OFF_EXP7 = OFF_THRESH + 2*256*8*128,   /* [2][10][49][12][11] */
+    OFF_EXPX = OFF_EXP7 + 2*10*49*12*11,   /* [2][10][15][12][11] */
+    OFF_EXPDC = OFF_EXPX + 2*10*15*12*11,  /* [12][17][11]     */
+    OFF_SIGN = OFF_EXPDC + 12*17*11,       /* [2][4][12]       */
+    ARENA_SIZE = OFF_SIGN + 2*4*12,
+};
+
+EXPORT int lepton_arena_size(void) { return ARENA_SIZE; }
+
+/* ------------------------------------------------------------- bool coder */
+
+typedef struct {
+    uint32_t lowvalue, range;
+    int32_t count;
+    uint8_t *buf;
+    size_t pos, cap;
+    int overflow;
+} VpxWriter;
+
+static void vpxw_init(VpxWriter *w, uint8_t *buf, size_t cap) {
+    w->lowvalue = 0; w->range = 255; w->count = -24;
+    w->buf = buf; w->pos = 0; w->cap = cap; w->overflow = 0;
+}
+
+static inline void vpxw_put(VpxWriter *w, int bit, int probability) {
+    /* boolwriter.hh:48-118 */
+    uint32_t split = 1 + (((w->range - 1) * (uint32_t)probability) >> 8);
+    uint32_t lowvalue = w->lowvalue;
+    uint32_t range;
+    if (bit) { lowvalue += split; range = w->range - split; }
+    else range = split;
+    int shift = VPX_NORM[range];
+    range <<= shift;
+    int count = w->count + shift;
+    if (count >= 0) {
+        int offset = shift - count;
+        if ((lowvalue << (offset - 1)) & 0x80000000u) {
+            size_t x = w->pos;
+            while (x > 0 && w->buf[x - 1] == 0xFF) w->buf[--x] = 0;
+            if (x > 0) w->buf[x - 1] += 1;
+        }
+        if (w->pos < w->cap) w->buf[w->pos++] = (uint8_t)(lowvalue >> (24 - offset));
+        else w->overflow = 1;
+        lowvalue = (lowvalue << offset) & 0xFFFFFF;
+        shift = count;
+        count -= 8;
+    }
+    w->lowvalue = lowvalue << shift;
+    w->range = range;
+    w->count = count;
+}
+
+static size_t vpxw_finish(VpxWriter *w) {
+    for (int i = 0; i < 32; ++i) vpxw_put(w, 0, 128);
+    if (w->pos && (w->buf[w->pos - 1] & 0xE0) == 0xC0 && w->pos < w->cap)
+        w->buf[w->pos++] = 0;
+    return w->pos;
+}
+
+typedef struct {
+    uint64_t value;
+    uint32_t range;
+    int64_t count;
+    const uint8_t *data;
+    size_t pos, len;
+} VpxReader;
+
+static void vpxr_fill(VpxReader *r) {
+    int64_t shift = 48 - r->count;
+    while (shift >= 0) {
+        if (r->pos < r->len) {
+            r->value |= (uint64_t)r->data[r->pos++] << shift;
+            r->count += 8;
+            shift -= 8;
+        } else {
+            r->count += 0x40000000;
+            break;
+        }
+    }
+}
+
+static inline int vpxr_get(VpxReader *r, int prob) {
+    if (r->count < 0) vpxr_fill(r);
+    uint32_t split = (r->range * (uint32_t)prob + (256 - (uint32_t)prob)) >> 8;
+    uint64_t bigsplit = (uint64_t)split << 56;
+    int bit;
+    uint32_t range;
+    if (r->value >= bigsplit) { bit = 1; range = r->range - split; r->value -= bigsplit; }
+    else { bit = 0; range = split; }
+    int shift = VPX_NORM[range];
+    r->range = range << shift;
+    r->value <<= shift;
+    r->count -= shift;
+    return bit;
+}
+
+static void vpxr_init(VpxReader *r, const uint8_t *data, size_t len) {
+    r->value = 0; r->count = -8; r->range = 255;
+    r->data = data; r->pos = 0; r->len = len;
+    vpxr_fill(r);
+    vpxr_get(r, 128); /* marker bit */
+}
+
+/* ------------------------------------------------------------ branch model */
+
+typedef struct {
+    uint8_t *arena;   /* [ARENA_SIZE][3] */
+    VpxWriter *w;
+    VpxReader *r;
+} Coder;
+
+static inline void branch_update(uint8_t *b, int obs) {
+    /* branch.hh:82-100 record_obs_and_update */
+    unsigned fc = b[0], tc = b[1];
+    if (obs) {
+        if (tc == 0xFF) {
+            if (fc == 1) { b[2] = 0; return; }
+            unsigned nfc = (1 + fc) >> 1;
+            b[0] = (uint8_t)nfc; b[1] = 129;
+            b[2] = (uint8_t)((nfc << 8) / (nfc + 129));
+        } else {
+            b[1] = (uint8_t)(tc + 1);
+            b[2] = (uint8_t)((fc << 8) / (fc + tc + 1));
+        }
+    } else {
+        if (fc == 0xFF) {
+            if (tc == 1) { b[2] = 255; return; }
+            unsigned ntc = (1 + tc) >> 1;
+            b[0] = 129; b[1] = (uint8_t)ntc;
+            b[2] = (uint8_t)((129u << 8) / (129 + ntc));
+        } else {
+            b[0] = (uint8_t)(fc + 1);
+            b[2] = (uint8_t)(((fc + 1) << 8) / (fc + tc + 1));
+        }
+    }
+}
+
+static inline void coder_put(Coder *c, int bit, int idx) {
+    uint8_t *b = c->arena + idx * 3;
+    vpxw_put(c->w, bit, b[2]);
+    branch_update(b, bit);
+}
+
+static inline int coder_get(Coder *c, int idx) {
+    uint8_t *b = c->arena + idx * 3;
+    int bit = vpxr_get(c->r, b[2]);
+    branch_update(b, bit);
+    return bit;
+}
+
+/* ----------------------------------------------------------- color tables */
+
+typedef struct {
+    uint16_t quant[64];            /* raster order */
+    int32_t icos_lin[64];
+    int32_t icos_x[64];
+    int32_t icos_y[64];
+    uint8_t min_noise_threshold[64];
+} ColorTables;
+
+static const int ICOS_BASE_8192[64] = {
+    8192,  8192,  8192,  8192,  8192,  8192,  8192,  8192,
+    11363,  9633,  6436,  2260, -2260, -6436, -9633, -11363,
+    10703,  4433, -4433, -10703, -10703, -4433,  4433, 10703,
+    9633, -2260, -11363, -6436,  6436, 11363,  2260, -9633,
+    8192, -8192, -8192,  8192,  8192, -8192, -8192,  8192,
+    6436, -11363,  2260,  9633, -9633, -2260, 11363, -6436,
+    4433, -10703, 10703, -4433, -4433, 10703, -10703,  4433,
+    2260, -6436,  9633, -11363, 11363, -9633,  6436, -2260};
+
+static const int ICOS_IDCT_LINEAR_8192[64] = {
+    1024,  1420,  1338,  1204,  1024,   805,   554,   283,
+    1024,  1204,   554,  -283, -1024, -1420, -1338,  -805,
+    1024,   805,  -554, -1420, -1024,   283,  1338,  1204,
+    1024,   283, -1338,  -805,  1024,  1204,  -554, -1420,
+    1024,  -283, -1338,   805,  1024, -1204,  -554,  1420,
+    1024,  -805,  -554,  1420, -1024,  -283,  1338, -1204,
+    1024, -1204,   554,   283, -1024,  1420, -1338,   805,
+    1024, -1420,  1338, -1204,  1024,  -805,   554,  -283};
+
+static const uint16_t FREQMAX[64] = {
+    1024, 931, 985, 968, 1020, 968, 1020, 1020,
+    932, 858, 884, 840, 932, 838, 854, 854,
+    985, 884, 871, 875, 985, 878, 871, 854,
+    967, 841, 876, 844, 967, 886, 870, 837,
+    1020, 932, 985, 967, 1020, 969, 1020, 1020,
+    969, 838, 878, 886, 969, 838, 969, 838,
+    1020, 854, 871, 870, 1010, 969, 1020, 1020,
+    1020, 854, 854, 838, 1020, 838, 1020, 838};
+
+EXPORT void lepton_init_color(ColorTables *ct, const uint16_t *quant_raster) {
+    /* model.hh:247-289 set_quantization_table (quant already raster) */
+    memcpy(ct->quant, quant_raster, 64 * sizeof(uint16_t));
+    for (int pr = 0; pr < 8; ++pr) {
+        for (int i = 0; i < 8; ++i) {
+            ct->icos_lin[pr * 8 + i] = ICOS_IDCT_LINEAR_8192[pr * 8 + i] * ct->quant[i];
+            ct->icos_x[pr * 8 + i] = ICOS_BASE_8192[i * 8] * ct->quant[i * 8 + pr];
+            ct->icos_y[pr * 8 + i] = ICOS_BASE_8192[i * 8] * ct->quant[pr * 8 + i];
+        }
+    }
+    for (int coord = 0; coord < 64; ++coord) {
+        uint32_t fm = FREQMAX[coord] + ct->quant[coord] - 1;
+        if (ct->quant[coord]) fm /= ct->quant[coord];
+        int len = 0;
+        while ((1u << len) <= fm) ++len;  /* bit_length */
+        ct->min_noise_threshold[coord] =
+            (uint8_t)(len > RESID_FLOOR ? len - RESID_FLOOR : 0);
+    }
+}
+
+EXPORT int lepton_color_tables_size(void) { return (int)sizeof(ColorTables); }
+
+/* ----------------------------------------------------------------- idct */
+
+enum { W1 = 2841, W2 = 2676, W3 = 2408, W5 = 1609, W6 = 1108, W7 = 565,
+       R2 = 181 };
+
+static void idct_block(const int16_t *coef, const uint16_t *q,
+                       int16_t out[64], int ignore_dc) {
+    /* idct.cc:36-160 scalar path */
+    int32_t inter[64];
+    for (int y = 0; y < 8; ++y) {
+        int y8 = y * 8;
+        int32_t x0 = ((ignore_dc && y == 0) ? 0
+                      : (coef[y8] * q[y8]) << 11) + 128;
+        int32_t x1 = (coef[y8 + 4] * q[y8 + 4]) << 11;
+        int32_t x2 = coef[y8 + 6] * q[y8 + 6];
+        int32_t x3 = coef[y8 + 2] * q[y8 + 2];
+        int32_t x4 = coef[y8 + 1] * q[y8 + 1];
+        int32_t x5 = coef[y8 + 7] * q[y8 + 7];
+        int32_t x6 = coef[y8 + 5] * q[y8 + 5];
+        int32_t x7 = coef[y8 + 3] * q[y8 + 3];
+        int32_t x8 = W7 * (x4 + x5);
+        x4 = x8 + (W1 - W7) * x4;
+        x5 = x8 - (W1 + W7) * x5;
+        x8 = W3 * (x6 + x7);
+        x6 = x8 - (W3 - W5) * x6;
+        x7 = x8 - (W3 + W5) * x7;
+        x8 = x0 + x1;
+        x0 -= x1;
+        x1 = W6 * (x3 + x2);
+        x2 = x1 - (W2 + W6) * x2;
+        x3 = x1 + (W2 - W6) * x3;
+        x1 = x4 + x6;
+        x4 -= x6;
+        x6 = x5 + x7;
+        x5 -= x7;
+        x7 = x8 + x3;
+        x8 -= x3;
+        x3 = x0 + x2;
+        x0 -= x2;
+        x2 = (R2 * (x4 + x5) + 128) >> 8;
+        x4 = (R2 * (x4 - x5) + 128) >> 8;
+        inter[y8 + 0] = (x7 + x1) >> 8;
+        inter[y8 + 1] = (x3 + x2) >> 8;
+        inter[y8 + 2] = (x0 + x4) >> 8;
+        inter[y8 + 3] = (x8 + x6) >> 8;
+        inter[y8 + 4] = (x8 - x6) >> 8;
+        inter[y8 + 5] = (x0 - x4) >> 8;
+        inter[y8 + 6] = (x3 - x2) >> 8;
+        inter[y8 + 7] = (x7 - x1) >> 8;
+    }
+    for (int x = 0; x < 8; ++x) {
+        int32_t y0 = (inter[x] << 8) + 8192;
+        int32_t y1 = inter[32 + x] << 8;
+        int32_t y2 = inter[48 + x];
+        int32_t y3 = inter[16 + x];
+        int32_t y4 = inter[8 + x];
+        int32_t y5 = inter[56 + x];
+        int32_t y6 = inter[40 + x];
+        int32_t y7 = inter[24 + x];
+        int32_t y8 = W7 * (y4 + y5) + 4;
+        y4 = (y8 + (W1 - W7) * y4) >> 3;
+        y5 = (y8 - (W1 + W7) * y5) >> 3;
+        y8 = W3 * (y6 + y7) + 4;
+        y6 = (y8 - (W3 - W5) * y6) >> 3;
+        y7 = (y8 - (W3 + W5) * y7) >> 3;
+        y8 = y0 + y1;
+        y0 -= y1;
+        y1 = W6 * (y3 + y2) + 4;
+        y2 = (y1 - (W2 + W6) * y2) >> 3;
+        y3 = (y1 + (W2 - W6) * y3) >> 3;
+        y1 = y4 + y6;
+        y4 -= y6;
+        y6 = y5 + y7;
+        y5 -= y7;
+        y7 = y8 + y3;
+        y8 -= y3;
+        y3 = y0 + y2;
+        y0 -= y2;
+        y2 = (R2 * (y4 + y5) + 128) >> 8;
+        y4 = (R2 * (y4 - y5) + 128) >> 8;
+        out[x] = (int16_t)((y7 + y1) >> 11);
+        out[8 + x] = (int16_t)((y3 + y2) >> 11);
+        out[16 + x] = (int16_t)((y0 + y4) >> 11);
+        out[24 + x] = (int16_t)((y8 + y6) >> 11);
+        out[32 + x] = (int16_t)((y8 - y6) >> 11);
+        out[40 + x] = (int16_t)((y0 - y4) >> 11);
+        out[48 + x] = (int16_t)((y3 - y2) >> 11);
+        out[56 + x] = (int16_t)((y7 - y1) >> 11);
+    }
+}
+
+/* ----------------------------------------------------------- block codec */
+
+typedef struct {
+    uint8_t nz;
+    int16_t edge[16];    /* [0..8) vertical, [8..16) horizontal */
+} Summary;
+
+static inline int bit_length_u(unsigned v) {
+    return v ? 32 - __builtin_clz(v) : 0;
+}
+
+static inline int bsr_prior(int best_prior) {
+    int v = best_prior < 0 ? -best_prior : best_prior;
+    if (v > 1023) v = 1023;
+    return bit_length_u((unsigned)v);
+}
+
+static int compute_aavrg(int coord, const int16_t *left, const int16_t *above,
+                         const int16_t *aboveleft) {
+    /* model.hh:852-871 (uint16 truncation included) */
+    int total = 0;
+    if (left) total += abs(left[coord]);
+    if (above) total += abs(above[coord]);
+    if (left && above) {
+        total *= 13;
+        total += 6 * abs(aboveleft[coord]);
+        return (total & 0xFFFF) >> 5;
+    }
+    return total;
+}
+
+static int compute_lak(int coord, const int16_t *here, const int16_t *above,
+                       const int16_t *left, const ColorTables *ct) {
+    /* model.hh:1033-1071 */
+    const int16_t *neighbor;
+    const int32_t *icos;
+    int idxs[8];
+    if ((coord & 7) && coord < 8) {
+        if (!above) return 0;
+        neighbor = above;
+        for (int i = 0; i < 8; ++i) idxs[i] = coord + i * 8;
+        icos = ct->icos_x + coord * 8;
+    } else if ((coord & 7) == 0 && coord >= 8) {
+        if (!left) return 0;
+        neighbor = left;
+        for (int i = 0; i < 8; ++i) idxs[i] = coord + i;
+        icos = ct->icos_y + coord;
+    } else {
+        return 0;
+    }
+    int32_t pred = neighbor[idxs[0]] * icos[0];
+    for (int i = 1; i < 8; ++i) {
+        int sign = (i & 1) ? 1 : -1;
+        pred -= icos[i] * (here[idxs[i]] + sign * neighbor[idxs[i]]);
+    }
+    return pred / icos[0];
+}
+
+static int adv_predict_dc_pix(const int16_t *here, const ColorTables *ct,
+                              const Summary *left_s, const Summary *above_s,
+                              int *uncertainty, int *uncertainty2,
+                              int16_t pixels[64]) {
+    /* model.hh:674-784 */
+    idct_block(here, ct->quant, pixels, 1);
+    int avgmed = 0;
+    *uncertainty = 0;
+    *uncertainty2 = 0;
+    if (left_s || above_s) {
+        int16_t est[16];
+        int n = 0;
+        int avg_h = 0, avg_v = 0;
+        if (left_s) {
+            for (int i = 0; i < 8; ++i) {
+                int a = pixels[i << 3] + 1024;
+                int pd = pixels[i << 3] - pixels[(i << 3) + 1];
+                int b = left_s->edge[i] - (pd / 2);
+                est[n++] = (int16_t)(b - a);
+            }
+        }
+        if (above_s) {
+            for (int i = 0; i < 8; ++i) {
+                int a = pixels[i] + 1024;
+                int pd = pixels[i] - pixels[i + 8];
+                int b = above_s->edge[i + 8] - (pd / 2);
+                est[n++] = (int16_t)(b - a);
+            }
+        }
+        int mn = est[0], mx = est[0];
+        for (int i = 0; i < n; ++i) {
+            if (est[i] < mn) mn = est[i];
+            if (est[i] > mx) mx = est[i];
+            if (i < 8) avg_h += est[i];
+            else avg_v += est[i];
+        }
+        if (n == 8) avg_v = avg_h;
+        int overall = (avg_h + avg_v) >> 1;
+        avgmed = overall;
+        *uncertainty = (mx - mn) >> 3;
+        avg_h -= overall;
+        avg_v -= overall;
+        int far_afield = avg_v;
+        if (abs(avg_h) < abs(avg_v)) far_afield = avg_h;
+        *uncertainty2 = far_afield >> 3;
+    }
+    return (avgmed / ct->quant[0] + 4) >> 3;
+}
+
+static void set_summary(Summary *s, const int16_t *pixels, int q0, int dc) {
+    /* block_context.hh set_vertical / set_horizontal */
+    for (int i = 0; i < 8; ++i) {
+        int cur = pixels[i * 8 + 7];
+        int delta = cur - pixels[i * 8 + 6];
+        s->edge[i] = (int16_t)(dc * q0 + cur + 1024 + delta / 2);
+    }
+    for (int i = 0; i < 8; ++i) {
+        int cur = pixels[56 + i];
+        int delta = cur - pixels[48 + i];
+        s->edge[8 + i] = (int16_t)(dc * q0 + cur + 1024 + delta / 2);
+    }
+}
+
+static int adv_predict_or_unpredict_dc(int saved_dc, int recover, int pred) {
+    int max_value = 1 << (MAX_EXPONENT - 1);
+    int adjustment = 2 * max_value + 1;
+    int v = saved_dc + (recover ? pred : -pred);
+    if (v < -max_value) v += adjustment;
+    if (v > max_value) v -= adjustment;
+    return v;
+}
+
+/* strides for exp/residual tables */
+enum {
+    S_NZ7_CI = 26 * 6 * 32, S_NZ7_BIN = 6 * 32, S_NZ7_IDX = 32,
+    S_NZE_CI = 8 * 8 * 3 * 4, S_NZE_EOB = 8 * 3 * 4, S_NZE_BIN = 3 * 4,
+    S_NZE_IDX = 4,
+    S_RES_CI = 64 * 10 * 10, S_RES_BAND = 10 * 10, S_RES_BIN = 10,
+    S_RDC_LEN = 10,
+    S_TH_CI = 256 * 8 * 128, S_TH_ABS = 8 * 128, S_TH_EXP = 128,
+    S_E7_CI = 10 * 49 * 12 * 11, S_E7_BIN = 49 * 12 * 11, S_E7_ZZ = 12 * 11,
+    S_E7_BSR = 11,
+    S_EX_CI = 10 * 15 * 12 * 11, S_EX_BIN = 15 * 12 * 11, S_EX_ZZ = 12 * 11,
+    S_EX_BSR = 11,
+    S_EDC_LEN = 17 * 11, S_EDC_OFF = 11,
+    S_SG_CI = 4 * 12, S_SG_CTX1 = 12,
+};
+
+typedef struct {
+    const ColorTables *ct;
+    int ci;                  /* color index (0 luma, 1 chroma) */
+} CompCtx;
+
+static void encode_edge(Coder *c, const CompCtx *cc, const int16_t *here,
+                        const int16_t *left, const int16_t *above,
+                        int nz7x7, int est_eob, int horizontal) {
+    int ci = cc->ci;
+    int num_nonzeros_edge = 0;
+    int delta, zig15, nz_base;
+    if (horizontal) {
+        for (int k = 1; k < 8; ++k) if (here[k]) ++num_nonzeros_edge;
+        delta = 1; zig15 = 0;
+        nz_base = OFF_NZ8x1 + ci * S_NZE_CI + est_eob * S_NZE_EOB
+            + ((nz7x7 + 3) / 7) * S_NZE_BIN;
+    } else {
+        for (int k = 1; k < 8; ++k) if (here[k * 8]) ++num_nonzeros_edge;
+        delta = 8; zig15 = 7;
+        nz_base = OFF_NZ1x8 + ci * S_NZE_CI + est_eob * S_NZE_EOB
+            + ((nz7x7 + 3) / 7) * S_NZE_BIN;
+    }
+    int so_far = 0;
+    for (int i = 2; i >= 0; --i) {
+        int bit = (num_nonzeros_edge >> i) & 1;
+        coder_put(c, bit, nz_base + i * S_NZE_IDX + so_far);
+        so_far = (so_far << 1) | bit;
+    }
+    int coord = delta;
+    for (int lane = 0; lane < 7 && num_nonzeros_edge; ++lane, coord += delta) {
+        int best_prior = compute_lak(coord, here, above, left, cc->ct);
+        int bsr = bsr_prior(best_prior);
+        int exp_slice = OFF_EXPX + ci * S_EX_CI + num_nonzeros_edge * S_EX_BIN
+            + (zig15 + lane) * S_EX_ZZ + bsr * S_EX_BSR;
+        int coef = here[coord];
+        unsigned abs_coef = (unsigned)(coef < 0 ? -coef : coef);
+        int length = bit_length_u(abs_coef);
+        for (int i = 0; i < MAX_EXPONENT; ++i) {
+            int cur_bit = length != i;
+            coder_put(c, cur_bit, exp_slice + i);
+            if (!cur_bit) break;
+        }
+        if (coef) {
+            int mt = cc->ct->min_noise_threshold[coord];
+            int ctx1 = best_prior == 0 ? 0 : (best_prior > 0 ? 1 : 2);
+            coder_put(c, coef >= 0, OFF_SIGN + ci * S_SG_CI + ctx1 * S_SG_CTX1 + bsr);
+            --num_nonzeros_edge;
+            if (length > 1) {
+                int i = length - 2;
+                if (i >= mt) {
+                    int abs_prior = best_prior < 0 ? -best_prior : best_prior;
+                    int t1 = abs_prior >> mt;
+                    if (t1 > 255) t1 = 255;
+                    int t2 = length - mt;
+                    if (t2 > RESID_FLOOR) t2 = RESID_FLOOR;
+                    int th_slice = OFF_THRESH + ci * S_TH_CI + t1 * S_TH_ABS
+                        + t2 * S_TH_EXP;
+                    int esf = 1;
+                    for (; i >= mt; --i) {
+                        int cur_bit = (abs_coef >> i) & 1;
+                        coder_put(c, cur_bit, th_slice + esf);
+                        esf = (esf << 1) | cur_bit;
+                        if (esf > 127) esf = 127;
+                    }
+                }
+                int res_slice = OFF_RESID + ci * S_RES_CI + coord * S_RES_BAND
+                    + (num_nonzeros_edge + 1) * S_RES_BIN;
+                for (; i >= 0; --i)
+                    coder_put(c, (abs_coef >> i) & 1, res_slice + i);
+            }
+        }
+    }
+}
+
+static void decode_edge(Coder *c, const CompCtx *cc, int16_t *here,
+                        const int16_t *left, const int16_t *above,
+                        int nz7x7, int est_eob, int horizontal, int *err) {
+    int ci = cc->ci;
+    int delta, zig15, nz_base;
+    if (horizontal) {
+        delta = 1; zig15 = 0;
+        nz_base = OFF_NZ8x1 + ci * S_NZE_CI + est_eob * S_NZE_EOB
+            + ((nz7x7 + 3) / 7) * S_NZE_BIN;
+    } else {
+        delta = 8; zig15 = 7;
+        nz_base = OFF_NZ1x8 + ci * S_NZE_CI + est_eob * S_NZE_EOB
+            + ((nz7x7 + 3) / 7) * S_NZE_BIN;
+    }
+    int num_nonzeros_edge = 0;
+    int so_far = 0;
+    for (int i = 2; i >= 0; --i) {
+        int bit = coder_get(c, nz_base + i * S_NZE_IDX + so_far);
+        num_nonzeros_edge |= bit << i;
+        so_far = (so_far << 1) | bit;
+    }
+    if (num_nonzeros_edge > 7) { *err = 1; return; }
+    int coord = delta;
+    for (int lane = 0; lane < 7 && num_nonzeros_edge; ++lane, coord += delta) {
+        int best_prior = compute_lak(coord, here, above, left, cc->ct);
+        int bsr = bsr_prior(best_prior);
+        int exp_slice = OFF_EXPX + ci * S_EX_CI + num_nonzeros_edge * S_EX_BIN
+            + (zig15 + lane) * S_EX_ZZ + bsr * S_EX_BSR;
+        int length = 0;
+        while (length != MAX_EXPONENT) {
+            if (!coder_get(c, exp_slice + length)) break;
+            ++length;
+        }
+        if (length) {
+            int mt = cc->ct->min_noise_threshold[coord];
+            int ctx1 = best_prior == 0 ? 0 : (best_prior > 0 ? 1 : 2);
+            int neg = !coder_get(c, OFF_SIGN + ci * S_SG_CI + ctx1 * S_SG_CTX1 + bsr);
+            int coef = 1 << (length - 1);
+            --num_nonzeros_edge;
+            if (length > 1) {
+                int i = length - 2;
+                if (i >= mt) {
+                    int abs_prior = best_prior < 0 ? -best_prior : best_prior;
+                    int t1 = abs_prior >> mt;
+                    if (t1 > 255) t1 = 255;
+                    int t2 = length - mt;
+                    if (t2 > RESID_FLOOR) t2 = RESID_FLOOR;
+                    int th_slice = OFF_THRESH + ci * S_TH_CI + t1 * S_TH_ABS
+                        + t2 * S_TH_EXP;
+                    int dsf = 1;
+                    for (; i >= mt; --i) {
+                        int cur_bit = coder_get(c, th_slice + dsf);
+                        coef |= cur_bit << i;
+                        dsf = (dsf << 1) | cur_bit;
+                        if (dsf > 127) dsf = 127;
+                    }
+                }
+                int res_slice = OFF_RESID + ci * S_RES_CI + coord * S_RES_BAND
+                    + (num_nonzeros_edge + 1) * S_RES_BIN;
+                for (; i >= 0; --i)
+                    coef |= coder_get(c, res_slice + i) << i;
+            }
+            here[coord] = (int16_t)(neg ? -coef : coef);
+        }
+    }
+}
+
+static void encode_block(Coder *c, const CompCtx *cc, const int16_t *here,
+                         const int16_t *left, const int16_t *above,
+                         const int16_t *aboveleft, const Summary *left_s,
+                         const Summary *above_s, Summary *cur_s) {
+    int ci = cc->ci;
+    int nz7x7 = 0;
+    for (int r = 1; r < 8; ++r)
+        for (int col = 1; col < 8; ++col)
+            if (here[r * 8 + col]) ++nz7x7;
+    cur_s->nz = (uint8_t)nz7x7;
+
+    int nz_ctx;
+    if (above_s && left_s) nz_ctx = (above_s->nz + left_s->nz + 2) / 4;
+    else if (above_s) nz_ctx = (above_s->nz + 1) / 2;
+    else if (left_s) nz_ctx = (left_s->nz + 1) / 2;
+    else nz_ctx = 0;
+    int nz_base = OFF_NZ7x7 + ci * S_NZ7_CI + NONZERO_TO_BIN[nz_ctx] * S_NZ7_BIN;
+    int so_far = 0;
+    for (int index = 5; index >= 0; --index) {
+        int bit = (nz7x7 >> index) & 1;
+        coder_put(c, bit, nz_base + index * S_NZ7_IDX + so_far);
+        so_far = (so_far << 1) | bit;
+    }
+
+    int eob_x = 0, eob_y = 0;
+    int nz_left = nz7x7;
+    for (int zz = 0; zz < 49 && nz_left; ++zz) {
+        int coord = UNZIGZAG49[zz];
+        int coef = here[coord];
+        unsigned abs_coef = (unsigned)(coef < 0 ? -coef : coef);
+        int length = bit_length_u(abs_coef);
+        int aavrg = compute_aavrg(coord, left, above, aboveleft);
+        int bsr = bsr_prior(aavrg);
+        int nnz_bin = NONZERO_TO_BIN[nz_left];
+        int exp_slice = OFF_EXP7 + ci * S_E7_CI + nnz_bin * S_E7_BIN
+            + zz * S_E7_ZZ + bsr * S_E7_BSR;
+        for (int i = 0; i < MAX_EXPONENT; ++i) {
+            int cur_bit = length != i;
+            coder_put(c, cur_bit, exp_slice + i);
+            if (!cur_bit) break;
+        }
+        if (length) {
+            coder_put(c, coef >= 0, OFF_SIGN + ci * S_SG_CI);
+            --nz_left;
+            int bx = coord & 7, by = coord >> 3;
+            if (bx > eob_x) eob_x = bx;
+            if (by > eob_y) eob_y = by;
+        }
+        if (length > 1) {
+            int res_slice = OFF_RESID + ci * S_RES_CI + coord * S_RES_BAND
+                + nnz_bin * S_RES_BIN;
+            for (int i = length - 2; i >= 0; --i)
+                coder_put(c, (abs_coef >> i) & 1, res_slice + i);
+        }
+    }
+
+    encode_edge(c, cc, here, left, above, nz7x7, eob_x, 1);
+    encode_edge(c, cc, here, left, above, nz7x7, eob_y, 0);
+
+    int uncertainty, uncertainty2;
+    int16_t pixels[64];
+    int pred = adv_predict_dc_pix(here, cc->ct, left_s, above_s,
+                                  &uncertainty, &uncertainty2, pixels);
+    int dc = here[0];
+    int coef = adv_predict_or_unpredict_dc(dc, 0, pred);
+    unsigned abs_coef = (unsigned)(coef < 0 ? -coef : coef);
+    int length = bit_length_u(abs_coef);
+    int len_mxm = bit_length_u((unsigned)abs(uncertainty));
+    int len_off = bit_length_u((unsigned)abs(uncertainty2));
+    int exp_slice = OFF_EXPDC
+        + (len_mxm < NUMLEN - 1 ? len_mxm : NUMLEN - 1) * S_EDC_LEN
+        + (len_off < 16 ? len_off : 16) * S_EDC_OFF;
+    for (int i = 0; i < MAX_EXPONENT; ++i) {
+        int cur_bit = length != i;
+        coder_put(c, cur_bit, exp_slice + i);
+        if (!cur_bit) break;
+    }
+    if (length) {
+        int sctx = uncertainty2 >= 0 ? (uncertainty2 == 0 ? 3 : 2) : 1;
+        coder_put(c, coef >= 0, OFF_SIGN + ci * S_SG_CI + sctx);
+    }
+    if (length > 1) {
+        int res_slice = OFF_RESID_DC
+            + (len_mxm < NUMLEN - 1 ? len_mxm : NUMLEN - 1) * S_RDC_LEN;
+        for (int i = length - 2; i >= 0; --i)
+            coder_put(c, (abs_coef >> i) & 1, res_slice + i);
+    }
+    set_summary(cur_s, pixels, cc->ct->quant[0], dc);
+}
+
+static void decode_block(Coder *c, const CompCtx *cc, int16_t *here,
+                         const int16_t *left, const int16_t *above,
+                         const int16_t *aboveleft, const Summary *left_s,
+                         const Summary *above_s, Summary *cur_s, int *err) {
+    int ci = cc->ci;
+    memset(here, 0, 64 * sizeof(int16_t));
+    int nz_ctx;
+    if (above_s && left_s) nz_ctx = (above_s->nz + left_s->nz + 2) / 4;
+    else if (above_s) nz_ctx = (above_s->nz + 1) / 2;
+    else if (left_s) nz_ctx = (left_s->nz + 1) / 2;
+    else nz_ctx = 0;
+    int nz_base = OFF_NZ7x7 + ci * S_NZ7_CI + NONZERO_TO_BIN[nz_ctx] * S_NZ7_BIN;
+    int nz7x7 = 0;
+    int so_far = 0;
+    for (int index = 5; index >= 0; --index) {
+        int bit = coder_get(c, nz_base + index * S_NZ7_IDX + so_far);
+        nz7x7 |= bit << index;
+        so_far = (so_far << 1) | bit;
+    }
+    if (nz7x7 > 49) { *err = 1; return; }
+
+    int eob_x = 0, eob_y = 0;
+    int nz_left = nz7x7;
+    for (int zz = 0; zz < 49 && nz_left; ++zz) {
+        int coord = UNZIGZAG49[zz];
+        int aavrg = compute_aavrg(coord, left, above, aboveleft);
+        int bsr = bsr_prior(aavrg);
+        int nnz_bin = NONZERO_TO_BIN[nz_left];
+        int exp_slice = OFF_EXP7 + ci * S_E7_CI + nnz_bin * S_E7_BIN
+            + zz * S_E7_ZZ + bsr * S_E7_BSR;
+        int length = 0;
+        while (length != MAX_EXPONENT) {
+            if (!coder_get(c, exp_slice + length)) break;
+            ++length;
+        }
+        if (length) {
+            int neg = !coder_get(c, OFF_SIGN + ci * S_SG_CI);
+            --nz_left;
+            int bx = coord & 7, by = coord >> 3;
+            if (bx > eob_x) eob_x = bx;
+            if (by > eob_y) eob_y = by;
+            int coef = 1 << (length - 1);
+            if (length > 1) {
+                int res_slice = OFF_RESID + ci * S_RES_CI + coord * S_RES_BAND
+                    + nnz_bin * S_RES_BIN;
+                for (int i = length - 2; i >= 0; --i)
+                    coef |= coder_get(c, res_slice + i) << i;
+            }
+            here[coord] = (int16_t)(neg ? -coef : coef);
+        }
+    }
+
+    decode_edge(c, cc, here, left, above, nz7x7, eob_x, 1, err);
+    if (*err) return;
+    decode_edge(c, cc, here, left, above, nz7x7, eob_y, 0, err);
+    if (*err) return;
+
+    int uncertainty, uncertainty2;
+    int16_t pixels[64];
+    int pred = adv_predict_dc_pix(here, cc->ct, left_s, above_s,
+                                  &uncertainty, &uncertainty2, pixels);
+    int len_mxm = bit_length_u((unsigned)abs(uncertainty));
+    int len_off = bit_length_u((unsigned)abs(uncertainty2));
+    int exp_slice = OFF_EXPDC
+        + (len_mxm < NUMLEN - 1 ? len_mxm : NUMLEN - 1) * S_EDC_LEN
+        + (len_off < 16 ? len_off : 16) * S_EDC_OFF;
+    int length = 0;
+    while (length < MAX_EXPONENT) {
+        if (!coder_get(c, exp_slice + length)) break;
+        ++length;
+    }
+    int coef = 0;
+    if (length) {
+        int sctx = uncertainty2 >= 0 ? (uncertainty2 == 0 ? 3 : 2) : 1;
+        int neg = !coder_get(c, OFF_SIGN + ci * S_SG_CI + sctx);
+        coef = 1 << (length - 1);
+        if (length > 1) {
+            int res_slice = OFF_RESID_DC
+                + (len_mxm < NUMLEN - 1 ? len_mxm : NUMLEN - 1) * S_RDC_LEN;
+            for (int i = length - 2; i >= 0; --i)
+                coef |= coder_get(c, res_slice + i) << i;
+        }
+        if (neg) coef = -coef;
+    }
+    int dc = adv_predict_or_unpredict_dc(coef, 1, pred);
+    here[0] = (int16_t)dc;
+    cur_s->nz = (uint8_t)nz7x7;
+    set_summary(cur_s, pixels, cc->ct->quant[0], dc);
+}
+
+/* ------------------------------------------------------- segment drivers */
+
+typedef struct {
+    int16_t *planes[3];
+    int32_t widths[3], heights[3];
+    int32_t comp_sizes[3];
+    int32_t max_coded_heights[3];
+    int ncomp, mcuv;
+    const ColorTables *colors[3];
+} Image;
+
+typedef struct {
+    int min_row_luma_y, next_row_luma_y, luma_y, component, curr_y;
+    int last_row_to_complete_mcu, skip, done;
+} RowSpec;
+
+static RowSpec row_spec_from_index(int decode_index, const Image *im) {
+    /* lepton_codec.hh:41-100 */
+    int cm[3], mcu_multiple = 0;
+    for (int i = 0; i < 3; ++i) {
+        cm[i] = im->heights[i] ? im->heights[i] / im->mcuv : 0;
+        mcu_multiple += cm[i];
+    }
+    int mcu_row = decode_index / mcu_multiple;
+    int place = decode_index - mcu_row * mcu_multiple;
+    RowSpec spec;
+    memset(&spec, 0, sizeof(spec));
+    spec.min_row_luma_y = mcu_row * cm[0];
+    spec.next_row_luma_y = spec.min_row_luma_y + cm[0];
+    spec.luma_y = spec.min_row_luma_y;
+    spec.component = 3;
+    for (int i = 2;; --i) {
+        if (place < cm[i]) {
+            spec.component = i;
+            spec.curr_y = mcu_row * cm[i] + place;
+            spec.last_row_to_complete_mcu = (place + 1 == cm[i] && i == 0);
+            if (spec.curr_y >= im->max_coded_heights[i]) {
+                spec.skip = 1;
+                spec.done = 1;
+                for (int j = 0; j < 2; ++j)
+                    if (mcu_row * cm[j] < im->max_coded_heights[j])
+                        spec.done = 0;
+            }
+            if (i == 0) spec.luma_y = spec.curr_y;
+            break;
+        }
+        place -= cm[i];
+        if (i == 0) { spec.skip = 1; spec.done = 1; break; }
+    }
+    return spec;
+}
+
+typedef struct {
+    uint8_t *arena;
+    Summary *rings[3];    /* 2*width entries per component */
+    int is_top_row[3];
+} SegState;
+
+static void process_row(const Image *im, SegState *st, Coder *c, int comp,
+                        int y, int encode, int *err) {
+    int w = im->widths[comp];
+    CompCtx cc = { im->colors[comp], comp == 0 ? 0 : 1 };
+    int top = st->is_top_row[comp];
+    st->is_top_row[comp] = 0;
+    Summary *cur = st->rings[comp] + (y & 1) * w;
+    Summary *abv = st->rings[comp] + (1 - (y & 1)) * w;
+    int16_t *row = im->planes[comp] + (size_t)y * w * 64;
+    int16_t *above_row = top ? NULL : im->planes[comp] + (size_t)(y - 1) * w * 64;
+    int size_limit = im->comp_sizes[comp];
+    int base = y * w;
+    for (int x = 0; x < w; ++x) {
+        const int16_t *left = x > 0 ? row + (size_t)(x - 1) * 64 : NULL;
+        const int16_t *above = above_row ? above_row + (size_t)x * 64 : NULL;
+        const int16_t *aboveleft =
+            (above_row && x > 0) ? above_row + (size_t)(x - 1) * 64 : NULL;
+        const Summary *left_s = x > 0 ? cur + (x - 1) : NULL;
+        const Summary *above_s = top ? NULL : abv + x;
+        if (encode)
+            encode_block(c, &cc, row + (size_t)x * 64, left, above, aboveleft,
+                         left_s, above_s, cur + x);
+        else {
+            decode_block(c, &cc, row + (size_t)x * 64, left, above, aboveleft,
+                         left_s, above_s, cur + x, err);
+            if (*err) return;
+        }
+        if (base + x + 1 >= size_limit) return;
+    }
+}
+
+static int run_segment(const Image *im, Coder *c, int min_y, int max_y,
+                       int is_last, int encode) {
+    SegState st;
+    st.arena = c->arena;
+    int err = 0;
+    for (int i = 0; i < 3; ++i) {
+        st.is_top_row[i] = 1;
+        int w = i < im->ncomp ? im->widths[i] : 0;
+        st.rings[i] = w ? (Summary *)calloc(2 * (size_t)w, sizeof(Summary))
+                        : NULL;
+    }
+    /* identity model */
+    for (int i = 0; i < ARENA_SIZE; ++i) {
+        c->arena[i * 3] = 1;
+        c->arena[i * 3 + 1] = 1;
+        c->arena[i * 3 + 2] = 128;
+    }
+    int index = 0;
+    while (!err) {
+        RowSpec spec = row_spec_from_index(index++, im);
+        if (spec.done) break;
+        if (spec.luma_y >= max_y && !is_last) break;
+        if (spec.skip) continue;
+        if (spec.luma_y < min_y) continue;
+        process_row(im, &st, c, spec.component, spec.curr_y, encode, &err);
+    }
+    for (int i = 0; i < 3; ++i) free(st.rings[i]);
+    return err;
+}
+
+/* Exported segment entry points.  planes: int16 raster [h][w][64] each. */
+EXPORT int64_t lepton_encode_segment(
+    int16_t **planes, const int32_t *widths, const int32_t *heights,
+    const int32_t *comp_sizes, const int32_t *max_coded_heights, int ncomp,
+    int mcuv, const ColorTables *const *colors, uint8_t *arena,
+    int min_y, int max_y, int is_last, uint8_t *out, int64_t out_cap) {
+    Image im;
+    memset(&im, 0, sizeof(im));
+    im.ncomp = ncomp;
+    im.mcuv = mcuv;
+    for (int i = 0; i < 3; ++i) {
+        im.planes[i] = i < ncomp ? planes[i] : NULL;
+        im.widths[i] = i < ncomp ? widths[i] : 0;
+        im.heights[i] = i < ncomp ? heights[i] : 0;
+        im.comp_sizes[i] = i < ncomp ? comp_sizes[i] : 0;
+        im.max_coded_heights[i] = i < ncomp ? max_coded_heights[i] : 0;
+        im.colors[i] = i < ncomp ? colors[i] : NULL;
+    }
+    VpxWriter w;
+    vpxw_init(&w, out, (size_t)out_cap);
+    vpxw_put(&w, 0, 128); /* marker bit */
+    Coder c = { arena, &w, NULL };
+    int err = run_segment(&im, &c, min_y, max_y, is_last, 1);
+    if (err) return -1;
+    size_t n = vpxw_finish(&w);
+    if (w.overflow) return -2;
+    return (int64_t)n;
+}
+
+EXPORT int lepton_decode_segment(
+    int16_t **planes, const int32_t *widths, const int32_t *heights,
+    const int32_t *comp_sizes, const int32_t *max_coded_heights, int ncomp,
+    int mcuv, const ColorTables *const *colors, uint8_t *arena,
+    int min_y, int max_y, int is_last, const uint8_t *data, int64_t len) {
+    Image im;
+    memset(&im, 0, sizeof(im));
+    im.ncomp = ncomp;
+    im.mcuv = mcuv;
+    for (int i = 0; i < 3; ++i) {
+        im.planes[i] = i < ncomp ? planes[i] : NULL;
+        im.widths[i] = i < ncomp ? widths[i] : 0;
+        im.heights[i] = i < ncomp ? heights[i] : 0;
+        im.comp_sizes[i] = i < ncomp ? comp_sizes[i] : 0;
+        im.max_coded_heights[i] = i < ncomp ? max_coded_heights[i] : 0;
+        im.colors[i] = i < ncomp ? colors[i] : NULL;
+    }
+    VpxReader r;
+    vpxr_init(&r, data, (size_t)len);
+    Coder c = { arena, NULL, &r };
+    return run_segment(&im, &c, min_y, max_y, is_last, 0);
+}
+
+/* ================================================================== */
+/* JPEG Huffman layer: baseline scan decode + re-emit                  */
+/* (ports of jpgcoder.cc decode_jpeg/decode_block_seq and              */
+/*  recoder.cc recode_one_mcu_row/encode_block_seq)                    */
+/* ================================================================== */
+
+typedef struct {
+    uint32_t lut[1 << 16];   /* (symbol << 5) | length, 0 = invalid */
+    uint16_t cval[256];
+    uint8_t clen[256];
+    int valid;
+} HuffTable;
+
+EXPORT int lepton_huff_table_size(void) { return (int)sizeof(HuffTable); }
+
+EXPORT void lepton_build_huff(HuffTable *ht, const uint8_t *counts,
+                              const uint8_t *values, int nvalues) {
+    memset(ht, 0, sizeof(*ht));
+    int k = 0, code = 0;
+    for (int i = 0; i < 16; ++i) {
+        for (int j = 0; j < counts[i]; ++j) {
+            int v = k < nvalues ? values[k] : 0;
+            ht->clen[v] = (uint8_t)(1 + i);
+            ht->cval[v] = (uint16_t)code;
+            ++k;
+            ++code;
+        }
+        code <<= 1;
+    }
+    for (int sym = 0; sym < 256; ++sym) {
+        int ln = ht->clen[sym];
+        if (!ln) continue;
+        uint32_t prefix = (uint32_t)ht->cval[sym] << (16 - ln);
+        uint32_t span = 1u << (16 - ln);
+        for (uint32_t i = 0; i < span; ++i)
+            ht->lut[prefix + i] = ((uint32_t)sym << 5) | (uint32_t)ln;
+        ht->valid = 1;
+    }
+}
+
+/* ------------------------- big-endian bit reader over scan data */
+typedef struct {
+    const uint8_t *data;
+    int64_t nbits, pos;
+    int eof;
+} HBitReader;
+
+static void hbr_init(HBitReader *r, const uint8_t *data, int64_t nbytes) {
+    r->data = data;
+    r->nbits = nbytes * 8;
+    r->pos = 0;
+    r->eof = nbytes == 0;
+}
+
+static inline uint32_t hbr_extract(const HBitReader *r, int64_t pos, int n) {
+    /* n <= 25 guaranteed by callers */
+    int64_t first = pos >> 3;
+    uint64_t chunk = 0;
+    int nbytes = (int)(((pos + n - 1) >> 3) - first + 1);
+    for (int i = 0; i < nbytes; ++i) chunk = (chunk << 8) | r->data[first + i];
+    int total = nbytes * 8;
+    chunk >>= total - (int)(pos - (first << 3)) - n;
+    return (uint32_t)(chunk & ((1u << n) - 1));
+}
+
+static uint32_t hbr_read(HBitReader *r, int n) {
+    if (r->eof || n == 0) return 0;
+    int64_t end = r->pos + n;
+    if (end >= r->nbits) {
+        int avail = (int)(r->nbits - r->pos);
+        uint32_t val = avail ? hbr_extract(r, r->pos, avail) << (n - avail) : 0;
+        r->pos = r->nbits;
+        r->eof = 1;
+        return val & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1));
+    }
+    uint32_t val = hbr_extract(r, r->pos, n);
+    r->pos = end;
+    if (r->pos == r->nbits) r->eof = 1;
+    return val;
+}
+
+static int huff_decode(HBitReader *r, const HuffTable *ht) {
+    int64_t navail = r->nbits - r->pos;
+    uint32_t peek;
+    if (r->eof) peek = 0;
+    else if (navail >= 16) peek = hbr_extract(r, r->pos, 16);
+    else peek = navail ? hbr_extract(r, r->pos, (int)navail) << (16 - navail) : 0;
+    uint32_t entry = ht->lut[peek];
+    int ln = (int)(entry & 31);
+    if (!ln) {
+        hbr_read(r, navail >= 16 ? 16 : (int)(navail > 0 ? navail : 0));
+        return -1;
+    }
+    hbr_read(r, ln);
+    return (int)(entry >> 5);
+}
+
+static int hbr_unpad(HBitReader *r, int fillbit) {
+    if ((r->pos & 7) == 0 || r->eof) return fillbit;
+    int last_bit = (int)hbr_read(r, 1);
+    int fill = last_bit;
+    int offset = 1;
+    while (r->pos & 7) {
+        last_bit = (int)hbr_read(r, 1);
+        fill |= last_bit << offset;
+        ++offset;
+    }
+    while (offset < 7) {
+        fill |= last_bit << offset;
+        ++offset;
+    }
+    return fill;
+}
+
+static inline int devli(int s, uint32_t n) {
+    if (s == 0) return (int)n;
+    if (n >= (1u << (s - 1))) return (int)n;
+    return (int)n + 1 - (1 << s);
+}
+
+/* ------------------------------------------------ scan geometry context */
+typedef struct {
+    int32_t bch, bcv, bc, nch, ncv, mbs, sfv, sfh;
+    int32_t huffdc, huffac;
+} HComp;
+
+typedef struct {
+    HComp comps[4];
+    int ncomp;               /* components in image */
+    int cs_cmpc;             /* components in scan */
+    int cs_cmp[4];
+    int rsti, mcuh, mcuv, mcuc;
+} HScan;
+
+static int h_next_mcupos(const HScan *sc, int *mcu, int *cmp, int *csc,
+                         int *sub, int *dpos, int *rstw) {
+    int sta = 0;
+    if (++(*sub) >= sc->comps[*cmp].mbs) {
+        *sub = 0;
+        if (++(*csc) >= sc->cs_cmpc) {
+            *csc = 0;
+            *cmp = sc->cs_cmp[0];
+            ++(*mcu);
+            if (*mcu >= sc->mcuc) sta = 2;
+            else if (sc->rsti > 0 && --(*rstw) == 0) sta = 1;
+        } else {
+            *cmp = sc->cs_cmp[*csc];
+        }
+    }
+    const HComp *ci = &sc->comps[*cmp];
+    if (ci->sfh > 1) {
+        int mo = *mcu / sc->mcuh, mm = *mcu - mo * sc->mcuh;
+        int so = *sub / ci->sfv, sm = *sub - so * ci->sfv;
+        *dpos = (mo * ci->sfh + so) * ci->bch + mm * ci->sfv + sm;
+    } else if (ci->sfv > 1) {
+        *dpos = *mcu * ci->mbs + *sub;
+    } else {
+        *dpos = *mcu;
+    }
+    return sta;
+}
+
+static int h_next_mcuposn(const HScan *sc, int cmp, int *dpos, int *rstw) {
+    const HComp *ci = &sc->comps[cmp];
+    ++(*dpos);
+    if (ci->bch != ci->nch && (*dpos % ci->bch) == ci->nch)
+        *dpos += ci->bch - ci->nch;
+    if (ci->bcv != ci->ncv && (*dpos / ci->bch) == ci->ncv)
+        *dpos = ci->bc;
+    if (*dpos >= ci->bc) return 2;
+    if (sc->rsti > 0 && --(*rstw) == 0) return 1;
+    return 0;
+}
+
+static int decode_block_seq_c(HBitReader *r, const HuffTable *dct,
+                              const HuffTable *act, int16_t *block) {
+    memset(block, 0, 64 * sizeof(int16_t));
+    int hc = huff_decode(r, dct);
+    if (hc < 0) return -1;
+    int s = hc;
+    uint32_t n = hbr_read(r, s);
+    block[0] = (int16_t)devli(s, n);
+    int eob = 64, bpos = 1, eof_fixup = 0;
+    while (bpos < 64) {
+        hc = huff_decode(r, act);
+        if (hc > 0) {
+            int z = hc >> 4;
+            s = hc & 15;
+            n = hbr_read(r, s);
+            if (z + bpos >= 64) { eof_fixup = 1; break; }
+            bpos += z;
+            block[bpos++] = (int16_t)devli(s, n);
+        } else if (hc == 0) {
+            eob = bpos;
+            break;
+        } else {
+            return -1;
+        }
+    }
+    if (eof_fixup) {
+        if (!r->eof) return -1;
+        for (int i = bpos; i < eob; ++i) block[i] = 0;
+        if (eob) block[eob - 1] = 1;
+    }
+    return eob;
+}
+
+/* flat handoff record: [luma_y_start, segment_size, overhang_byte,
+ *                       num_overhang_bits, dc0..dc3] as int32 */
+enum { HANDOFF_I32 = 8, MAX_HANDOFFS = 65540 };
+
+static void crystallize(const HBitReader *r, const uint32_t *hpos,
+                        const uint32_t *fpos, int noff, int mcu_y,
+                        const int *lastdc, int luma_mul, int32_t *rec) {
+    uint32_t pos = (uint32_t)((r->pos >> 3) + 1);
+    /* lower_bound over hpos for (pos,pos); pairs sorted by (hpos, fpos) */
+    int lo = 0, hi = noff;
+    while (lo < hi) {
+        int mid = (lo + hi) / 2;
+        if (hpos[mid] < pos || (hpos[mid] == pos && fpos[mid] < pos))
+            lo = mid + 1;
+        else hi = mid;
+    }
+    int i = lo;
+    if (i > 0) --i;
+    uint32_t mapped = 0;
+    if (i < noff) mapped = fpos[i] + (pos - hpos[i]);
+    rec[0] = luma_mul * mcu_y;
+    rec[1] = (int32_t)mapped;
+    int rem = (int)(r->pos & 7);
+    rec[2] = rem ? (r->data[r->pos >> 3] & ((0xFF << (8 - rem)) & 0xFF)) : 0;
+    rec[3] = rem;
+    for (int k = 0; k < 4; ++k) rec[4 + k] = lastdc[k];
+}
+
+/* Decode one baseline scan.  Returns scan status (2 done; negative error);
+ * outputs planes (raster int16), handoff records and padbit (in/out). */
+EXPORT int lepton_decode_baseline_scan(
+    const uint8_t *huffdata, int64_t huff_nbytes, int64_t *bitpos_io,
+    const HScan *sc, const HuffTable *tables /* [2][4] */,
+    int16_t **planes,
+    const uint32_t *offs_hpos, const uint32_t *offs_fpos, int noff,
+    int32_t *handoffs_out, int32_t *nhandoffs_io, int32_t *padbit_io,
+    int32_t *max_dpos_io) {
+    HBitReader r;
+    hbr_init(&r, huffdata, huff_nbytes);
+    r.pos = *bitpos_io;
+    if (r.pos >= r.nbits) r.eof = 1;
+    int lastdc[4] = {0, 0, 0, 0};
+    int16_t block[64];
+    int cmp = sc->cs_cmp[0], csc = 0, mcu = 0, sub = 0, dpos = 0;
+    int do_handoff = 1;
+    int nh = *nhandoffs_io;
+    int padbit = *padbit_io;
+    int luma_mul = sc->comps[0].bcv / sc->mcuv;
+    int sta = 0;
+    int hmul = sc->comps[0].bch / sc->mcuh;
+    int vmul = sc->comps[0].bcv / sc->mcuv;
+
+    while (1) {   /* restart-interval loop */
+        lastdc[0] = lastdc[1] = lastdc[2] = lastdc[3] = 0;
+        sta = 0;
+        int rstw = sc->rsti;
+        while (sta == 0) {
+            if (sc->cs_cmpc > 1) {
+                if (do_handoff) {
+                    if (nh < MAX_HANDOFFS)
+                        crystallize(&r, offs_hpos, offs_fpos, noff,
+                                    mcu / sc->mcuh, lastdc, luma_mul,
+                                    handoffs_out + (size_t)nh * HANDOFF_I32);
+                    ++nh;
+                    do_handoff = 0;
+                }
+            } else {
+                if (do_handoff) {
+                    if (nh < MAX_HANDOFFS)
+                        crystallize(&r, offs_hpos, offs_fpos, noff,
+                                    (dpos / (hmul * vmul)) / sc->mcuh,
+                                    lastdc, luma_mul,
+                                    handoffs_out + (size_t)nh * HANDOFF_I32);
+                    ++nh;
+                    do_handoff = 0;
+                }
+            }
+            if (!r.eof && dpos > max_dpos_io[cmp]) max_dpos_io[cmp] = dpos;
+            int eob = decode_block_seq_c(
+                &r, &tables[sc->comps[cmp].huffdc],
+                &tables[4 + sc->comps[cmp].huffac], block);
+            if (eob < 0) { sta = -1; break; }
+            block[0] = (int16_t)(block[0] + lastdc[cmp]);
+            lastdc[cmp] = block[0];
+            {   /* store zigzag block into raster plane */
+                const HComp *ci = &sc->comps[cmp];
+                int y = dpos / ci->bch, x = dpos % ci->bch;
+                if (y < ci->bcv) {
+                    int16_t *dst = planes[cmp] +
+                        ((size_t)y * ci->bch + x) * 64;
+                    for (int b = 0; b < eob; ++b)
+                        dst[ZIGZAG_TO_RASTER[b]] = block[b];
+                }
+            }
+            int old_mcu = mcu;
+            if (sc->cs_cmpc > 1) {
+                sta = h_next_mcupos(sc, &mcu, &cmp, &csc, &sub, &dpos, &rstw);
+                if (mcu % sc->mcuh == 0 && old_mcu != mcu) do_handoff = 1;
+            } else {
+                sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                mcu = dpos / (hmul * vmul);
+                if (cmp == 0 && mcu % sc->mcuh == 0 &&
+                    dpos % (hmul * vmul) == 0)
+                    do_handoff = 1;
+            }
+            if (r.eof) { sta = 2; break; }
+        }
+        /* unpad / padbit bookkeeping */
+        if (padbit != -1) {
+            if (padbit != hbr_unpad(&r, padbit)) padbit = 1;
+        } else {
+            padbit = hbr_unpad(&r, padbit);
+        }
+        if (sta == -1) return -1;
+        if (sta == 2) break;
+    }
+    /* final crystallize */
+    if (nh < MAX_HANDOFFS)
+        crystallize(&r, offs_hpos, offs_fpos, noff, mcu / sc->mcuh,
+                    lastdc, luma_mul, handoffs_out + (size_t)nh * HANDOFF_I32);
+    ++nh;
+    *nhandoffs_io = nh;
+    *padbit_io = padbit;
+    *bitpos_io = r.pos;
+    return 2;
+}
+
+/* --------------------------------------------- re-emit (recode) */
+
+typedef struct {
+    uint8_t *out;
+    size_t pos, bound;
+} HBound;
+
+static inline void hb_byte(HBound *o, uint8_t b) {
+    if (o->pos < o->bound) o->out[o->pos++] = b;
+}
+
+static void hb_escaped(HBound *o, const uint8_t *data, size_t n) {
+    for (size_t i = 0; i < n; ++i) {
+        uint8_t b = data[i];
+        hb_byte(o, b);
+        if (b == 0xFF) hb_byte(o, 0);
+    }
+}
+
+typedef struct {
+    uint8_t *buf;          /* whole-byte output (pre-escape) */
+    size_t pos, cap;
+    uint32_t acc;          /* partial bits, top-aligned within `bits` */
+    int bits;
+} HBitWriter;
+
+static inline void hbw_write(HBitWriter *w, uint32_t val, int n) {
+    if (!n) return;
+    val &= (n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1);
+    uint64_t acc = ((uint64_t)w->acc << n) | val;
+    int total = w->bits + n;
+    while (total >= 8) {
+        total -= 8;
+        if (w->pos < w->cap) w->buf[w->pos++] = (uint8_t)(acc >> total);
+    }
+    w->acc = (uint32_t)(acc & ((1u << total) - 1));
+    w->bits = total;
+}
+
+static void hbw_pad(HBitWriter *w, int fillbit) {
+    int offset = 1;
+    while (w->bits & 7) {
+        hbw_write(w, (fillbit & offset) ? 1 : 0, 1);
+        offset <<= 1;
+    }
+}
+
+static int encode_block_seq_c(HBitWriter *w, const HuffTable *dct,
+                              const HuffTable *act, const int16_t *zb) {
+    int tmp = zb[0];
+    unsigned a = (unsigned)(tmp > 0 ? tmp : -tmp);
+    int s = bit_length_u(a);
+    hbw_write(w, dct->cval[s], dct->clen[s]);
+    hbw_write(w, (uint32_t)(tmp > 0 ? tmp : tmp - 1 + (1 << s)), s);
+    int end = 63;
+    while (end && !zb[end]) --end;
+    int z = 0;
+    for (int bpos = 1; bpos <= end; ++bpos) {
+        tmp = zb[bpos];
+        if (!tmp) { ++z; continue; }
+        while (z & 0xF0) {
+            hbw_write(w, act->cval[0xF0], act->clen[0xF0]);
+            z -= 16;
+        }
+        a = (unsigned)(tmp > 0 ? tmp : -tmp);
+        s = bit_length_u(a);
+        int hc = (z << 4) + s;
+        hbw_write(w, act->cval[hc], act->clen[hc]);
+        hbw_write(w, (uint32_t)(tmp > 0 ? tmp : tmp - 1 + (1 << s)), s);
+        z = 0;
+    }
+    if (end != 63) hbw_write(w, act->cval[0x00], act->clen[0x00]);
+    return end + 1;
+}
+
+/* Re-emit the scan data for mcu rows [start_row, end_row) of one segment.
+ * Handoff stitching state (overhang/lastdc) is owned by the caller. */
+EXPORT int64_t lepton_recode_rows(
+    const HScan *sc, const HuffTable *tables, int16_t **planes,
+    int start_mcu_row, int end_mcu_row,
+    int overhang_byte, int num_overhang_bits, int32_t *lastdc_io,
+    int padbit, const uint32_t *rst_cnt, int n_rst_cnt, int rst_cnt_set,
+    uint8_t *out, int64_t out_bound, int64_t out_pos,
+    int32_t *overhang_out) {
+    HBound o = { out, (size_t)out_pos, (size_t)out_bound };
+    size_t cap = (size_t)out_bound + 65536;
+    uint8_t *tmp = (uint8_t *)malloc(cap);
+    if (!tmp) return -1;
+    HBitWriter w = { tmp, 0, cap, 0, 0 };
+    w.acc = num_overhang_bits ? (uint32_t)(overhang_byte >> (8 - num_overhang_bits)) : 0;
+    w.bits = num_overhang_bits;
+    int lastdc[4];
+    for (int i = 0; i < 4; ++i) lastdc[i] = lastdc_io[i];
+    int16_t zb[64];
+
+    for (int mcu_row = start_mcu_row; mcu_row < end_mcu_row; ++mcu_row) {
+        int mcu = mcu_row * sc->mcuh;
+        int cmp = sc->cs_cmp[0], csc = 0, sub = 0;
+        int mcumul = sc->comps[cmp].sfv * sc->comps[cmp].sfh;
+        int dpos = mcu * mcumul;
+        int rstw = sc->rsti ? sc->rsti - mcu % sc->rsti : 0;
+        unsigned crm = rstw ? (unsigned)(mcu / sc->rsti) : 0;
+        int end_of_row = 0;
+        while (!end_of_row) {
+            int sta = 0;
+            while (sta == 0) {
+                const HComp *ci = &sc->comps[cmp];
+                int y = dpos / ci->bch, x = dpos % ci->bch;
+                const int16_t *raster = planes[cmp] +
+                    ((size_t)y * ci->bch + x) * 64;
+                for (int zpos = 0; zpos < 64; ++zpos)
+                    zb[zpos] = raster[ZIGZAG_TO_RASTER[zpos]];
+                int dc = zb[0];
+                zb[0] = (int16_t)(zb[0] - lastdc[cmp]);
+                lastdc[cmp] = dc;
+                encode_block_seq_c(&w, &tables[ci->huffdc],
+                                   &tables[4 + ci->huffac], zb);
+                int old_mcu = mcu;
+                if (sc->cs_cmpc == 1) {
+                    sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                    mcu = dpos / mcumul;
+                } else {
+                    sta = h_next_mcupos(sc, &mcu, &cmp, &csc, &sub, &dpos,
+                                        &rstw);
+                }
+                if (sta == 0 && w.bits == 0) {
+                    hb_escaped(&o, w.buf, w.pos);
+                    w.pos = 0;
+                }
+                if (o.pos >= o.bound) sta = 2;
+                if (old_mcu != mcu && mcu % sc->mcuh == 0) {
+                    end_of_row = 1;
+                    if (sta == 0) goto row_done;
+                }
+            }
+            hbw_pad(&w, padbit);
+            if (w.bits == 0) {
+                hb_escaped(&o, w.buf, w.pos);
+                w.pos = 0;
+            }
+            if (sta == 2) break;
+            if (sta == 1 && sc->rsti > 0) {
+                if (!n_rst_cnt || !rst_cnt_set || crm < rst_cnt[0]) {
+                    hb_byte(&o, 0xFF);
+                    hb_byte(&o, (uint8_t)(0xD0 + (crm & 7)));
+                    ++crm;
+                }
+                rstw = sc->rsti;
+                lastdc[0] = lastdc[1] = lastdc[2] = lastdc[3] = 0;
+            }
+        }
+row_done:
+        /* flush whole bytes after each mcu row */
+        hb_escaped(&o, w.buf, w.pos);
+        w.pos = 0;
+    }
+    for (int i = 0; i < 4; ++i) lastdc_io[i] = lastdc[i];
+    overhang_out[0] = w.bits ? ((w.acc << (8 - w.bits)) & 0xFF) : 0;
+    overhang_out[1] = w.bits;
+    free(tmp);
+    return (int64_t)o.pos;
+}

@@ -29,6 +29,23 @@ class LeptonError(Exception):
     pass
 
 
+def _native_image(info: ImageInfo, planes, max_heights, comp_sizes):
+    """Native (C) segment codec when available, else None."""
+    try:
+        from . import _native
+        if not _native.available():
+            return None
+        from .constants import RASTER_TO_ZIGZAG
+        qtables_raster = [
+            np.asarray(info.qtables[info.cmpnfo[c].qtable_index])[
+                RASTER_TO_ZIGZAG]
+            for c in range(info.cmpc)]
+        return _native.NativeImage(planes, qtables_raster, info.mcuv,
+                                   max_heights, comp_sizes)
+    except Exception:
+        return None
+
+
 def _color_tables(info: ImageInfo) -> List[ColorTables]:
     return [ColorTables(info.qtables[info.cmpnfo[c].qtable_index])
             for c in range(info.cmpc)]
@@ -70,17 +87,24 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
                                      max_threads, min_threads)
     splits = select_splits(row_handoffs, num_threads, even_split)
 
-    colors = _color_tables(info)
     max_heights, comp_sizes = _truncation_geometry(info, dec)
-    image = ImageData([np.ascontiguousarray(p) for p in dec.planes], colors,
-                      info.mcuv, max_heights, comp_sizes)
+    native = _native_image(info, dec.planes, max_heights, comp_sizes)
+    if native is None:
+        colors = _color_tables(info)
+        image = ImageData([np.ascontiguousarray(p) for p in dec.planes],
+                          colors, info.mcuv, max_heights, comp_sizes)
 
     streams = []
     for i, th in enumerate(splits):
         is_last = i == len(splits) - 1
         end_y = (splits[i + 1].luma_y_start if not is_last
                  else info.cmpnfo[0].bcv)
-        streams.append(encode_segment(image, th.luma_y_start, end_y, is_last))
+        if native is not None:
+            streams.append(native.encode_segment(th.luma_y_start, end_y,
+                                                 is_last))
+        else:
+            streams.append(encode_segment(image, th.luma_y_start, end_y,
+                                          is_last))
 
     hdr = LeptonHeader()
     hdr.version = 1
@@ -107,11 +131,15 @@ def decompress(lep_data: bytes) -> bytes:
     if hdr.mode == ord("X"):
         raise LeptonError("progressive decode not yet supported")
     info = image_info_from_header(hdr.hdrdata)
-    colors = _color_tables(info)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
     planes = [np.zeros((info.cmpnfo[c].bcv, info.cmpnfo[c].bch, 64),
                        dtype=np.int16) for c in range(info.cmpc)]
-    image = ImageData(planes, colors, info.mcuv, max_heights, comp_sizes)
+    native = _native_image(info, planes, max_heights, comp_sizes)
+    if native is not None:
+        planes = native.planes
+    else:
+        colors = _color_tables(info)
+        image = ImageData(planes, colors, info.mcuv, max_heights, comp_sizes)
 
     handoffs = hdr.handoffs
     if handoffs:
@@ -121,8 +149,11 @@ def decompress(lep_data: bytes) -> bytes:
         is_last = i == len(handoffs) - 1
         end_y = handoffs[i + 1].luma_y_start if not is_last else \
             info.cmpnfo[0].bcv
-        decode_segment(image, bytes(demux.buffers[i]),
-                       th.luma_y_start, end_y, is_last)
+        data = bytes(demux.buffers[i])
+        if native is not None:
+            native.decode_segment(data, th.luma_y_start, end_y, is_last)
+        else:
+            decode_segment(image, data, th.luma_y_start, end_y, is_last)
 
     info2 = image_info_from_header(hdr.hdrdata)
     return recode_baseline_jpeg(

@@ -73,9 +73,19 @@ def _crystallize(reader: BitReader, offsets, offset_firsts, mcu_y: int,
     return th
 
 
+def _native_available() -> bool:
+    try:
+        from .. import _native
+        return _native.available()
+    except Exception:
+        return False
+
+
 def decode_scans(parsed: ParsedJpeg, info: ImageInfo,
-                 allow_progressive: bool = False) -> DecodedScanData:
+                 allow_progressive: bool = False,
+                 use_native=None) -> DecodedScanData:
     """Decode all scans from the stored header + huffdata."""
+    native_finalized = False
     out = DecodedScanData()
     out.planes = [
         np.zeros((info.cmpnfo[c].bcv, info.cmpnfo[c].bch, 64), dtype=np.int16)
@@ -128,6 +138,33 @@ def decode_scans(parsed: ParsedJpeg, info: ImageInfo,
             continue
 
         # ---- baseline sequential scan ----
+        if use_native is None:
+            use_native = _native_available()
+        if use_native:
+            from .. import _native
+            status, newpos, hrecs, padbit, maxd = \
+                _native.native_decode_baseline_scan(
+                    info, parsed.huffdata, reader.pos, offsets,
+                    out.planes, padbit)
+            if status < 0:
+                raise JpegDecodeError(f"decode error in scan {scnc}")
+            reader.pos = newpos
+            reader.eof = newpos >= reader.nbits
+            for k, rec in enumerate(hrecs):
+                th = ThreadHandoff(
+                    luma_y_start=int(rec[0]),
+                    luma_y_end=int(rec[0]) + luma_mul,
+                    segment_size=int(rec[1]) & 0xFFFFFFFF,
+                    overhang_byte=int(rec[2]),
+                    num_overhang_bits=int(rec[3]),
+                    last_dc=[int(v) for v in rec[4:8]])
+                handoffs.append(th)
+            for c in range(4):
+                out.max_dpos[c] = max(out.max_dpos[c], maxd[c])
+            scnc += 1
+            native_finalized = True
+            continue
+
         cmp = sc.cs_cmp[0]
         csc = 0
         mcu = 0
@@ -210,8 +247,9 @@ def decode_scans(parsed: ParsedJpeg, info: ImageInfo,
 
     out.padbit = padbit
     out.early_eof = parsed.early_eof
-    handoffs.append(_crystallize(
-        reader, offsets, None, mcu // info.mcuh, lastdc, luma_mul))
+    if not native_finalized:
+        handoffs.append(_crystallize(
+            reader, offsets, None, mcu // info.mcuh, lastdc, luma_mul))
     for i in range(1, len(handoffs)):
         if handoffs[i].luma_y_start < handoffs[i - 1].luma_y_end:
             handoffs[i].luma_y_start = handoffs[i - 1].luma_y_end

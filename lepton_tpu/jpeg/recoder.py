@@ -177,12 +177,21 @@ def _recode_one_mcu_row(huffw: BitWriter, mcu: int, out: BoundedWriter,
     return True
 
 
+def _native_available() -> bool:
+    try:
+        from .. import _native
+        return _native.available()
+    except Exception:
+        return False
+
+
 def recode_baseline_jpeg(hdrdata: bytes, planes, handoffs: List[ThreadHandoff],
                          info: ImageInfo, padbit: int,
                          rst_cnt, rst_cnt_set: bool, rst_err,
                          garbage: bytes, max_file_size: int,
                          prefix_garbage: Optional[bytes] = None,
-                         embedded_jpeg: bool = False) -> bytes:
+                         embedded_jpeg: bool = False,
+                         use_native=None) -> bytes:
     """Port of recode_baseline_jpeg (recoder.cc:694-890), sequential."""
     grbs = len(garbage)
     out = BoundedWriter(max_file_size - grbs)
@@ -191,6 +200,13 @@ def recode_baseline_jpeg(hdrdata: bytes, planes, handoffs: List[ThreadHandoff],
 
     if padbit == -1:
         padbit = 0  # no padding was observed; value irrelevant
+
+    if use_native is None:
+        use_native = _native_available()
+    if use_native:
+        return _recode_native(out, byte_position, hdrdata, planes, handoffs,
+                              info, padbit, rst_cnt, rst_cnt_set, rst_err,
+                              garbage, max_file_size)
 
     huffw = BitWriter(size_bound=max_file_size)
     mcuv = info.mcuv
@@ -250,3 +266,62 @@ def recode_baseline_jpeg(hdrdata: bytes, planes, handoffs: List[ThreadHandoff],
     out.set_bound(max_file_size)
     out.write(garbage)
     return bytes(out.buf)
+
+
+def _recode_native(out: BoundedWriter, byte_position: int, hdrdata: bytes,
+                   planes, handoffs, info: ImageInfo, padbit: int,
+                   rst_cnt, rst_cnt_set: bool, rst_err,
+                   garbage: bytes, max_file_size: int) -> bytes:
+    """Native segment re-emit (lepton_recode_rows), same semantics as the
+    Python loop in recode_baseline_jpeg."""
+    from .. import _native
+    grbs = len(garbage)
+    bound = max_file_size - grbs
+    buf = np.zeros(max_file_size + 65536, dtype=np.uint8)
+    pos = len(out.buf)
+    buf[:pos] = np.frombuffer(bytes(out.buf), dtype=np.uint8)
+
+    planes_c = [np.ascontiguousarray(p.reshape(p.shape[0], -1), dtype=np.int16)
+                for p in planes]
+    sc = _native.build_hscan(info)
+    tables = _native.build_huff_tables(info)
+    luma_mul = info.cmpnfo[0].bcv // info.mcuv
+
+    running_ob = handoffs[0].overhang_byte
+    running_nb = handoffs[0].num_overhang_bits
+    running_dc = list(handoffs[0].last_dc)
+    running_start = handoffs[0].luma_y_start
+    running_end = handoffs[0].luma_y_end
+    for seg_i, th in enumerate(handoffs):
+        if not th.is_legacy_mode():
+            if seg_i > 0:
+                if th.num_overhang_bits != running_nb or \
+                        th.overhang_byte != running_ob or \
+                        list(th.last_dc[:3]) != running_dc[:3]:
+                    raise RecodeError(f"handoff mismatch at segment {seg_i}")
+            running_ob = th.overhang_byte
+            running_nb = th.num_overhang_bits
+            running_dc = list(th.last_dc)
+        running_start = th.luma_y_start
+        running_end = th.luma_y_end
+        start_row = running_start // luma_mul
+        end_row = running_end // luma_mul
+        pos, running_ob, running_nb, running_dc = _native.native_recode_rows(
+            info, planes_c, start_row, end_row, running_ob, running_nb,
+            running_dc, padbit, rst_cnt, rst_cnt_set,
+            buf, bound, pos, tables=tables, sc=sc)
+
+    result = bytearray(buf[:min(pos, bound)].tobytes())
+    if rst_err:
+        cumulative = ((info.mcuh * info.mcuv - 1) // info.rsti
+                      if info.rsti else 0)
+        for i in range(rst_err[0]):
+            if len(result) < bound:
+                result.append(0xFF)
+            if len(result) < bound:
+                result.append(0xD0 + ((cumulative + i) & 7))
+    if len(result) < bound:
+        result += hdrdata[byte_position:
+                          byte_position + (bound - len(result))]
+    result += garbage[:max_file_size - len(result)]
+    return bytes(result)
