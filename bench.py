@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Benchmark driver: encode+decode MB/s on the reference images/ corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N, ...}
+
+- Host path: native C segment codec + Huffman layers (the production host
+  runtime), with bit-exact roundtrip verification on every file.
+- TPU path: phase-A context kernels (IDCT/summaries/aavrg/Lakhani/DC
+  prediction) throughput on the largest corpus image, reported as a
+  sub-metric.
+
+vs_baseline compares against the reference lepton binary's single-core
+throughput measured on the build host (BASELINE.md: ~5.6 MB/s roundtrip
+aggregate on this corpus); the reference publishes no absolute numbers.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORPUS = [
+    "colorswap.jpg", "nofsync.jpg", "narrowrst.jpg", "androidcrop.jpg",
+    "gray2sf.jpg", "androidtrail.jpg", "android.jpg", "iphonecrop2.jpg",
+    "grayscale.jpg", "trailingrst.jpg", "trailingrst2.jpg", "iphonecrop.jpg",
+    "androidcropoptions.jpg", "iphone.jpg", "iphonecity.jpg", "slrhills.jpg",
+    "slrindoor.jpg", "singlerowtrunc.jpg", "truncatedzerorun.jpg",
+]
+IMAGES_DIR = "/root/reference/images"
+
+# reference lepton binary single-core roundtrip aggregate, measured locally
+# (see BASELINE.md; reference publishes no absolute numbers)
+REFERENCE_ROUNDTRIP_MBPS = 5.6
+
+
+def bench_host():
+    from lepton_tpu.api import compress, decompress
+    total_bytes = 0
+    enc_time = 0.0
+    dec_time = 0.0
+    ratios = []
+    failures = []
+    n_files = 0
+    for name in CORPUS:
+        path = os.path.join(IMAGES_DIR, name)
+        if not os.path.exists(path):
+            continue
+        data = open(path, "rb").read()
+        try:
+            t0 = time.perf_counter()
+            lep = compress(data)
+            t1 = time.perf_counter()
+            out = decompress(lep)
+            t2 = time.perf_counter()
+        except Exception as e:
+            failures.append(f"{name}: {e!r}")
+            continue
+        if out != data:
+            failures.append(f"{name}: roundtrip mismatch")
+            continue
+        n_files += 1
+        total_bytes += len(data)
+        enc_time += t1 - t0
+        dec_time += t2 - t1
+        ratios.append(len(lep) / len(data))
+    mb = total_bytes / 1e6
+    return dict(
+        n_files=n_files,
+        corpus_mb=round(mb, 2),
+        encode_mbps=round(mb / enc_time, 2) if enc_time else 0.0,
+        decode_mbps=round(mb / dec_time, 2) if dec_time else 0.0,
+        roundtrip_mbps=round(2 * mb / (enc_time + dec_time), 2)
+        if enc_time + dec_time else 0.0,
+        avg_ratio=round(sum(ratios) / len(ratios), 4) if ratios else None,
+        failures=failures,
+    )
+
+
+def bench_tpu_phase_a():
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from lepton_tpu.kernels import contexts as K
+        from lepton_tpu.jpeg.parser import parse_jpeg
+        from lepton_tpu.jpeg.imageinfo import image_info_from_header
+        from lepton_tpu.jpeg.decoder import decode_scans
+        from lepton_tpu.model.context import ColorTables
+
+        path = os.path.join(IMAGES_DIR, "iphone.jpg")
+        if not os.path.exists(path):
+            return None
+        data = open(path, "rb").read()
+        parsed = parse_jpeg(data)
+        info = image_info_from_header(parsed.hdrdata)
+        dec = decode_scans(parsed, info)
+        colors = ColorTables(info.qtables[info.cmpnfo[0].qtable_index])
+        coefs = jnp.asarray(dec.planes[0])
+        quant = jnp.asarray(colors.quant, dtype=jnp.int32)
+        icx = jnp.asarray(colors.icos_idct_edge_8192_dequantized_x,
+                          dtype=jnp.int32)
+        icy = jnp.asarray(colors.icos_idct_edge_8192_dequantized_y,
+                          dtype=jnp.int32)
+
+        fn = jax.jit(lambda c: K.phase_a(c, quant, icx, icy))
+        out = fn(coefs)
+        jax.block_until_ready(out)
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(coefs)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        nblocks = coefs.shape[0] * coefs.shape[1]
+        return dict(
+            backend=jax.devices()[0].platform,
+            blocks=int(nblocks),
+            phase_a_mblocks_per_s=round(nblocks / dt / 1e6, 2),
+            phase_a_coef_gbps=round(nblocks * 64 * 2 / dt / 1e9, 2),
+        )
+    except Exception as e:
+        return dict(error=repr(e)[:200])
+
+
+def main():
+    host = bench_host()
+    tpu = bench_tpu_phase_a()
+    value = host["roundtrip_mbps"]
+    result = {
+        "metric": "corpus encode+decode roundtrip throughput (bit-exact)",
+        "value": value,
+        "unit": "MB/s",
+        "vs_baseline": round(value / REFERENCE_ROUNDTRIP_MBPS, 3),
+        "host": host,
+        "tpu_phase_a": tpu,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -257,3 +257,26 @@ def native_recode_rows(info, planes, start_row: int, end_row: int,
         raise RuntimeError("native recode failed")
     return (int(newpos), int(overhang_out[0]), int(overhang_out[1]),
             lastdc_c.tolist())
+
+
+def native_symbolize_segment(img: "NativeImage", min_y: int, max_y: int,
+                             is_last: bool):
+    """(branch_idx, bit) symbol stream for one segment (phase-B input)."""
+    lib = img.lib
+    lib.lepton_symbolize_segment.restype = ctypes.c_int64
+    cap = 1 << 20
+    while True:
+        idx = np.empty(cap, dtype=np.int32)
+        bit = np.empty(cap, dtype=np.uint8)
+        n = lib.lepton_symbolize_segment(
+            img.plane_ptrs, img.widths, img.heights, img.comp_sizes,
+            img.max_heights, img.ncomp, img.mcuv, img.color_ptrs,
+            img.arena.ctypes.data_as(ctypes.c_void_p),
+            min_y, max_y, int(is_last),
+            idx.ctypes.data_as(ctypes.c_void_p),
+            bit.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap))
+        if n < 0:
+            raise RuntimeError("symbolize failed")
+        if n <= cap:
+            return idx[:n].copy(), bit[:n].copy()
+        cap = int(n) + 1024

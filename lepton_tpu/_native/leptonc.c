@@ -177,6 +177,9 @@ typedef struct {
     uint8_t *arena;   /* [ARENA_SIZE][3] */
     VpxWriter *w;
     VpxReader *r;
+    int32_t *sym_idx;   /* when set: record (idx,bit) instead of coding */
+    uint8_t *sym_bit;
+    int64_t sym_n, sym_cap;
 } Coder;
 
 static inline void branch_update(uint8_t *b, int obs) {
@@ -206,6 +209,16 @@ static inline void branch_update(uint8_t *b, int obs) {
 }
 
 static inline void coder_put(Coder *c, int bit, int idx) {
+    if (c->sym_idx) {
+        /* symbolization mode: branch indices + bits are independent of the
+         * adaptive probabilities, so no model update is needed */
+        if (c->sym_n < c->sym_cap) {
+            c->sym_idx[c->sym_n] = idx;
+            c->sym_bit[c->sym_n] = (uint8_t)bit;
+        }
+        ++c->sym_n;
+        return;
+    }
     uint8_t *b = c->arena + idx * 3;
     vpxw_put(c->w, bit, b[2]);
     branch_update(b, bit);
@@ -978,7 +991,7 @@ EXPORT int64_t lepton_encode_segment(
     VpxWriter w;
     vpxw_init(&w, out, (size_t)out_cap);
     vpxw_put(&w, 0, 128); /* marker bit */
-    Coder c = { arena, &w, NULL };
+    Coder c = { arena, &w, NULL, NULL, NULL, 0, 0 };
     int err = run_segment(&im, &c, min_y, max_y, is_last, 1);
     if (err) return -1;
     size_t n = vpxw_finish(&w);
@@ -1005,7 +1018,7 @@ EXPORT int lepton_decode_segment(
     }
     VpxReader r;
     vpxr_init(&r, data, (size_t)len);
-    Coder c = { arena, NULL, &r };
+    Coder c = { arena, NULL, &r, NULL, NULL, 0, 0 };
     return run_segment(&im, &c, min_y, max_y, is_last, 0);
 }
 
@@ -1504,4 +1517,32 @@ row_done:
     overhang_out[1] = w.bits;
     free(tmp);
     return (int64_t)o.pos;
+}
+
+
+/* Emit the (branch_index, bit) symbol stream for one segment without
+ * arithmetic coding -- the input to batched phase-B coder kernels.
+ * Returns symbol count (maybe > cap: caller reallocates and retries). */
+EXPORT int64_t lepton_symbolize_segment(
+    int16_t **planes, const int32_t *widths, const int32_t *heights,
+    const int32_t *comp_sizes, const int32_t *max_coded_heights, int ncomp,
+    int mcuv, const ColorTables *const *colors, uint8_t *arena,
+    int min_y, int max_y, int is_last,
+    int32_t *sym_idx, uint8_t *sym_bit, int64_t sym_cap) {
+    Image im;
+    memset(&im, 0, sizeof(im));
+    im.ncomp = ncomp;
+    im.mcuv = mcuv;
+    for (int i = 0; i < 3; ++i) {
+        im.planes[i] = i < ncomp ? planes[i] : NULL;
+        im.widths[i] = i < ncomp ? widths[i] : 0;
+        im.heights[i] = i < ncomp ? heights[i] : 0;
+        im.comp_sizes[i] = i < ncomp ? comp_sizes[i] : 0;
+        im.max_coded_heights[i] = i < ncomp ? max_coded_heights[i] : 0;
+        im.colors[i] = i < ncomp ? colors[i] : NULL;
+    }
+    Coder c = { arena, NULL, NULL, sym_idx, sym_bit, 0, sym_cap };
+    int err = run_segment(&im, &c, min_y, max_y, is_last, 1);
+    if (err) return -1;
+    return c.sym_n;
 }

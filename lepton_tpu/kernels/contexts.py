@@ -1,0 +1,267 @@
+"""Phase-A TPU kernels: all model contexts as batched array programs.
+
+The encode-side insight (SURVEY.md section 7): every context the token codec
+needs -- neighbor summaries, aavrg averages, Lakhani DCT predictions, the
+pixel-domain DC prediction -- is a pure function of the (fully known)
+coefficients, so it vectorizes over *all blocks at once*.  The fixed-point
+IDCT and the Lakhani predictions are 8x8 basis contractions, i.e. matmuls
+that run on the MXU.
+
+All integer arithmetic matches the scalar reference semantics exactly
+(int32 wraparound, truncation-toward-zero, uint16 masking), so phase-A
+outputs can drive the bit-exact phase-B coder.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+
+# ---------------------------------------------------------------------------
+# Fixed-point IDCT as two 8x8 stage-structured passes, batched over blocks.
+# A direct basis-matmul would change rounding; the reference's staged
+# butterflies with intermediate >> shifts must be replicated exactly.
+# ---------------------------------------------------------------------------
+
+
+def _idct_rows(c: jnp.ndarray, ignore_dc: bool) -> jnp.ndarray:
+    """Horizontal pass: c is int32 [..., 8, 8] dequantized coefficients."""
+    if ignore_dc:
+        c = c.at[..., 0, 0].set(0)
+    x0 = (c[..., :, 0] << 11) + 128
+    x1 = c[..., :, 4] << 11
+    x2, x3, x4 = c[..., :, 6], c[..., :, 2], c[..., :, 1]
+    x5, x6, x7 = c[..., :, 7], c[..., :, 5], c[..., :, 3]
+    x8 = C.W7 * (x4 + x5)
+    x4, x5 = x8 + C.W1MW7 * x4, x8 - C.W1PW7 * x5
+    x8 = C.W3 * (x6 + x7)
+    x6, x7 = x8 - C.W3MW5 * x6, x8 - C.W3PW5 * x7
+    x8 = x0 + x1
+    x0 = x0 - x1
+    x1 = C.W6 * (x3 + x2)
+    x2, x3 = x1 - C.W2PW6 * x2, x1 + C.W2MW6 * x3
+    x1 = x4 + x6
+    x4 = x4 - x6
+    x6 = x5 + x7
+    x5 = x5 - x7
+    x7 = x8 + x3
+    x8 = x8 - x3
+    x3 = x0 + x2
+    x0 = x0 - x2
+    x2 = (C.R2 * (x4 + x5) + 128) >> 8
+    x4 = (C.R2 * (x4 - x5) + 128) >> 8
+    return jnp.stack([
+        (x7 + x1) >> 8, (x3 + x2) >> 8, (x0 + x4) >> 8, (x8 + x6) >> 8,
+        (x8 - x6) >> 8, (x0 - x4) >> 8, (x3 - x2) >> 8, (x7 - x1) >> 8,
+    ], axis=-1)
+
+
+def _idct_cols(inter: jnp.ndarray) -> jnp.ndarray:
+    y0 = (inter[..., 0, :] << 8) + 8192
+    y1 = inter[..., 4, :] << 8
+    y2, y3, y4 = inter[..., 6, :], inter[..., 2, :], inter[..., 1, :]
+    y5, y6, y7 = inter[..., 7, :], inter[..., 5, :], inter[..., 3, :]
+    y8 = C.W7 * (y4 + y5) + 4
+    y4, y5 = (y8 + C.W1MW7 * y4) >> 3, (y8 - C.W1PW7 * y5) >> 3
+    y8 = C.W3 * (y6 + y7) + 4
+    y6, y7 = (y8 - C.W3MW5 * y6) >> 3, (y8 - C.W3PW5 * y7) >> 3
+    y8 = y0 + y1
+    y0 = y0 - y1
+    y1 = C.W6 * (y3 + y2) + 4
+    y2, y3 = (y1 - C.W2PW6 * y2) >> 3, (y1 + C.W2MW6 * y3) >> 3
+    y1 = y4 + y6
+    y4 = y4 - y6
+    y6 = y5 + y7
+    y5 = y5 - y7
+    y7 = y8 + y3
+    y8 = y8 - y3
+    y3 = y0 + y2
+    y0 = y0 - y2
+    y2 = (C.R2 * (y4 + y5) + 128) >> 8
+    y4 = (C.R2 * (y4 - y5) + 128) >> 8
+    return jnp.stack([
+        (y7 + y1) >> 11, (y3 + y2) >> 11, (y0 + y4) >> 11, (y8 + y6) >> 11,
+        (y8 - y6) >> 11, (y0 - y4) >> 11, (y3 - y2) >> 11, (y7 - y1) >> 11,
+    ], axis=-2)
+
+
+def idct_blocks(coefs: jnp.ndarray, quant: jnp.ndarray,
+                ignore_dc: bool = True) -> jnp.ndarray:
+    """Batched fixed-point IDCT.  coefs int16/int32 [..., 64] raster,
+    quant int32 [64].  Returns int16 pixels [..., 64] scaled by 8."""
+    c = (coefs.astype(jnp.int32) * quant.astype(jnp.int32)).reshape(
+        coefs.shape[:-1] + (8, 8))
+    inter = _idct_rows(c, ignore_dc)
+    out = _idct_cols(inter)
+    return out.reshape(coefs.shape[:-1] + (64,)).astype(jnp.int16)
+
+
+def _div2_toward_zero(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sign(v) * (jnp.abs(v) >> 1)
+
+
+def neighbor_summaries(coefs: jnp.ndarray, quant: jnp.ndarray):
+    """Per-block outgoing edge pixels + nonzero counts, all blocks at once.
+
+    coefs: int16 [H, W, 64] raster.  Returns (nz7x7 uint8 [H, W],
+    edges int16 [H, W, 16]) matching NeighborSummary (block_context.hh).
+    """
+    pixels = idct_blocks(coefs, quant, ignore_dc=True).astype(jnp.int32)
+    dc = coefs[..., 0].astype(jnp.int32)
+    q0 = quant[0].astype(jnp.int32)
+    px = pixels.reshape(pixels.shape[:-1] + (8, 8))
+    # vertical (right edge): col 7, delta vs col 6
+    vcur = px[..., :, 7]
+    vdelta = vcur - px[..., :, 6]
+    vert = dc[..., None] * q0 + vcur + 1024 + _div2_toward_zero(vdelta)
+    # horizontal (bottom edge): row 7, delta vs row 6
+    hcur = px[..., 7, :]
+    hdelta = hcur - px[..., 6, :]
+    horiz = dc[..., None] * q0 + hcur + 1024 + _div2_toward_zero(hdelta)
+    edges = jnp.concatenate([vert, horiz], axis=-1).astype(jnp.int16)
+
+    grid = coefs.reshape(coefs.shape[:-1] + (8, 8))
+    nz7 = jnp.sum(grid[..., 1:, 1:] != 0, axis=(-1, -2)).astype(jnp.uint8)
+    return nz7, edges, pixels.astype(jnp.int16)
+
+
+def aavrg_all(coefs: jnp.ndarray) -> jnp.ndarray:
+    """Weighted neighbor-abs averages for every block and coefficient.
+
+    coefs int16 [H, W, 64] -> int32 [H, W, 64]; edge rows/cols follow the
+    reduced-neighbor formulas (model.hh:852-871) with uint16 truncation.
+    """
+    a = jnp.abs(coefs.astype(jnp.int32))
+    left = jnp.pad(a[:, :-1], ((0, 0), (1, 0), (0, 0)))
+    above = jnp.pad(a[:-1, :], ((1, 0), (0, 0), (0, 0)))
+    aboveleft = jnp.pad(a[:-1, :-1], ((1, 0), (1, 0), (0, 0)))
+    H, W = a.shape[0], a.shape[1]
+    has_left = (jnp.arange(W) > 0)[None, :, None]
+    has_above = (jnp.arange(H) > 0)[:, None, None]
+    both = ((13 * (left + above) + 6 * aboveleft) & 0xFFFF) >> 5
+    only_left = left
+    only_above = above
+    return jnp.where(has_left & has_above, both,
+                     jnp.where(has_left, only_left,
+                               jnp.where(has_above, only_above, 0)))
+
+
+def lak_all(coefs: jnp.ndarray, icos_x: jnp.ndarray,
+            icos_y: jnp.ndarray) -> jnp.ndarray:
+    """Lakhani predictions for the 14 edge coefficients of every block.
+
+    Returns int32 [H, W, 14]: lanes 0..6 horizontal (coords 1..7),
+    lanes 7..13 vertical (coords 8..56).  The per-band contraction is an
+    8-point dot product against the dequantized cosine basis (MXU-friendly).
+    """
+    c = coefs.astype(jnp.int32).reshape(coefs.shape[:-1] + (8, 8))
+    above = jnp.pad(c[:-1], ((1, 0), (0, 0), (0, 0), (0, 0)))
+    left = jnp.pad(c[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    H, W = c.shape[0], c.shape[1]
+    has_above = (jnp.arange(H) > 0)[:, None, None]
+    has_left = (jnp.arange(W) > 0)[None, :, None]
+    sign = jnp.where(jnp.arange(8) & 1, 1, -1).astype(jnp.int32)  # (-1)^i+1
+
+    # horizontal: band b in 1..7; columns of here/above at col b
+    bands = jnp.arange(1, 8)
+    here_cols = c[..., :, :]  # [H, W, 8row, 8col]
+    x_h = jnp.moveaxis(here_cols[..., :, 1:8], -1, -2)   # [H, W, 7band, 8row]
+    a_h = jnp.moveaxis(above[..., :, 1:8], -1, -2)
+    icosx = icos_x.reshape(8, 8)[1:8]                    # [7band, 8]
+    x_h = x_h.at[..., 0].set(0)
+    # pred = a0*icos0 - sum_{i>=1} icos_i*(x_i + s_i*a_i)
+    pred_h = a_h[..., 0] * icosx[None, None, :, 0] - jnp.sum(
+        icosx[None, None, :, 1:] * (x_h[..., 1:] + sign[1:][None, None, None]
+                                    * a_h[..., 1:]), axis=-1)
+    den_h = icosx[:, 0][None, None]
+    pred_h = jnp.where(has_above,
+                       jnp.sign(pred_h) * (jnp.abs(pred_h) // den_h), 0)
+
+    # vertical: band 8k, k in 1..7; rows of here/left at row k
+    x_v = c[..., 1:8, :]                                  # [H, W, 7band, 8col]
+    a_v = left[..., 1:8, :]
+    icosy = icos_y.reshape(8, 8)[1:8]
+    x_v = x_v.at[..., 0].set(0)
+    pred_v = a_v[..., 0] * icosy[None, None, :, 0] - jnp.sum(
+        icosy[None, None, :, 1:] * (x_v[..., 1:] + sign[1:][None, None, None]
+                                    * a_v[..., 1:]), axis=-1)
+    den_v = icosy[:, 0][None, None]
+    pred_v = jnp.where(has_left,
+                       jnp.sign(pred_v) * (jnp.abs(pred_v) // den_v), 0)
+    return jnp.concatenate([pred_h, pred_v], axis=-1)
+
+
+def dc_predictions(coefs: jnp.ndarray, quant: jnp.ndarray,
+                   nz7x7: jnp.ndarray, edges: jnp.ndarray,
+                   pixels: jnp.ndarray):
+    """Pixel-domain DC prediction for every block (model.hh:674-784).
+
+    edges: int16 [H, W, 16] neighbor summaries (from neighbor_summaries).
+    Returns (predicted_dc, uncertainty, uncertainty2) int32 [H, W].
+    """
+    H, W = coefs.shape[0], coefs.shape[1]
+    px = pixels.astype(jnp.int32)
+    q0 = quant[0].astype(jnp.int32)
+    left_edges = jnp.pad(edges[:, :-1], ((0, 0), (1, 0), (0, 0)))
+    above_edges = jnp.pad(edges[:-1, :], ((1, 0), (0, 0), (0, 0)))
+    has_left = (jnp.arange(W) > 0)[None, :]
+    has_above = (jnp.arange(H) > 0)[:, None]
+
+    pxg = px.reshape(H, W, 8, 8)
+    # left estimates
+    a_l = pxg[..., :, 0] + 1024
+    pd_l = pxg[..., :, 0] - pxg[..., :, 1]
+    b_l = left_edges[..., 0:8].astype(jnp.int32) - _div2_toward_zero(pd_l)
+    est_l = (b_l - a_l).astype(jnp.int16).astype(jnp.int32)
+    # above estimates
+    a_a = pxg[..., 0, :] + 1024
+    pd_a = pxg[..., 0, :] - pxg[..., 1, :]
+    b_a = above_edges[..., 8:16].astype(jnp.int32) - _div2_toward_zero(pd_a)
+    est_a = (b_a - a_a).astype(jnp.int16).astype(jnp.int32)
+
+    big = jnp.int32(1 << 30)
+    l_mask = has_left[..., None]
+    a_mask = has_above[..., None]
+    any_mask = has_left | has_above
+    mins = jnp.minimum(jnp.min(jnp.where(l_mask, est_l, big), axis=-1),
+                       jnp.min(jnp.where(a_mask, est_a, big), axis=-1))
+    maxs = jnp.maximum(jnp.max(jnp.where(l_mask, est_l, -big), axis=-1),
+                       jnp.max(jnp.where(a_mask, est_a, -big), axis=-1))
+    sum_l = jnp.sum(jnp.where(l_mask, est_l, 0), axis=-1)
+    sum_a = jnp.sum(jnp.where(a_mask, est_a, 0), axis=-1)
+    # avg_h = first-eight estimates (left if present else above)
+    avg_h = jnp.where(has_left, sum_l, sum_a)
+    avg_v = jnp.where(has_left & has_above, sum_a, avg_h)
+    overall = (avg_h + avg_v) >> 1
+    uncertainty = jnp.where(any_mask, (maxs - mins) >> 3, 0)
+    dh = avg_h - overall
+    dv = avg_v - overall
+    far = jnp.where(jnp.abs(dh) < jnp.abs(dv), dh, dv)
+    uncertainty2 = jnp.where(any_mask, far >> 3, 0)
+    avgmed = jnp.where(any_mask, overall, 0)
+    pred = (jnp.sign(avgmed) * (jnp.abs(avgmed) // q0) + 4) >> 3
+    return pred, uncertainty, uncertainty2
+
+
+def block_bit_cost(coefs: jnp.ndarray) -> jnp.ndarray:
+    """Rough per-block compressed-cost estimate (vp8_encoder.cc:156-189
+    aligned_block_cost): 16 + sum(1 + 2*bitlength(|coef|))."""
+    a = jnp.abs(coefs.astype(jnp.int32))
+    blen = jnp.where(a > 0, 32 - jax.lax.clz(a), 0)
+    return 16 + jnp.sum(1 + 2 * blen, axis=-1)
+
+
+def phase_a(coefs: jnp.ndarray, quant: jnp.ndarray,
+            icos_x: jnp.ndarray, icos_y: jnp.ndarray):
+    """Full phase-A bundle for one component plane."""
+    nz7, edges, pixels = neighbor_summaries(coefs, quant)
+    aavrg = aavrg_all(coefs)
+    lak = lak_all(coefs, icos_x, icos_y)
+    pred, unc, unc2 = dc_predictions(coefs, quant, nz7, edges, pixels)
+    cost = block_bit_cost(coefs)
+    return dict(nz7x7=nz7, edges=edges, pixels=pixels, aavrg=aavrg,
+                lak=lak, dc_pred=pred, uncertainty=unc, uncertainty2=unc2,
+                cost=cost)

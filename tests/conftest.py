@@ -9,6 +9,13 @@ os.environ.setdefault(
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+try:
+    # the axon TPU plugin ignores JAX_PLATFORMS; force CPU via config
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
