@@ -142,6 +142,21 @@ def decompress(lep_data: bytes) -> bytes:
         image = ImageData(planes, colors, info.mcuv, max_heights, comp_sizes)
 
     handoffs = hdr.handoffs
+    if not handoffs:
+        # legacy file: no 'H' record -- a mark byte + (mark-1) LE16 luma
+        # splits precede the mux data (vp8_decoder.cc:337-363); overhang
+        # state is unknown, forcing continuous single-threaded re-emit
+        mark = mux_region[0]
+        if mark == 0:
+            raise LeptonError("legacy file with zero threads")
+        splits = [int.from_bytes(mux_region[1 + 2 * i:3 + 2 * i], "little")
+                  for i in range(mark - 1)]
+        mux_region = mux_region[1 + 2 * (mark - 1):]
+        bounds = [0] + splits + [info.cmpnfo[0].bcv]
+        handoffs = [
+            ThreadHandoff(luma_y_start=bounds[i], luma_y_end=bounds[i + 1],
+                          num_overhang_bits=ThreadHandoff.LEGACY_OVERHANG_BITS)
+            for i in range(mark)]
     if handoffs:
         handoffs[-1].luma_y_end = info.cmpnfo[0].bcv
     demux = MuxReader(mux_region)

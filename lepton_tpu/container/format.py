@@ -22,11 +22,9 @@ from .. import constants as C
 from ..jpeg.decoder import ThreadHandoff
 from .handoff import deserialize_handoffs, serialize_handoffs
 
-try:
-    import brotli  # type: ignore
-    _HAVE_BROTLI = True
-except ImportError:
-    _HAVE_BROTLI = False
+from . import brotli_ffi
+
+_HAVE_BROTLI = brotli_ffi.available()
 
 
 class ContainerError(Exception):
@@ -61,7 +59,7 @@ def _compress_header(payload: bytes, version: int) -> bytes:
         return zlib.compress(payload, 9)
     if not _HAVE_BROTLI:
         raise ContainerError("brotli not available for v2+ headers")
-    return brotli.compress(payload)
+    return brotli_ffi.compress(payload)
 
 
 def _decompress_header(payload: bytes, version: int) -> bytes:
@@ -69,7 +67,7 @@ def _decompress_header(payload: bytes, version: int) -> bytes:
         return zlib.decompress(payload)
     if not _HAVE_BROTLI:
         raise ContainerError("brotli not available for v2+ headers")
-    return brotli.decompress(payload)
+    return brotli_ffi.decompress(payload)
 
 
 def build_header_block(hdr: LeptonHeader) -> bytes:

@@ -216,7 +216,8 @@ def recode_baseline_jpeg(hdrdata: bytes, planes, handoffs: List[ThreadHandoff],
     # at each boundary (recoder.cc:633-645)
     running = ThreadHandoff(
         overhang_byte=handoffs[0].overhang_byte,
-        num_overhang_bits=handoffs[0].num_overhang_bits,
+        num_overhang_bits=(0 if handoffs[0].is_legacy_mode()
+                           else handoffs[0].num_overhang_bits),
         last_dc=list(handoffs[0].last_dc))
     for seg_i, th in enumerate(handoffs):
         if not th.is_legacy_mode():
@@ -288,7 +289,8 @@ def _recode_native(out: BoundedWriter, byte_position: int, hdrdata: bytes,
     luma_mul = info.cmpnfo[0].bcv // info.mcuv
 
     running_ob = handoffs[0].overhang_byte
-    running_nb = handoffs[0].num_overhang_bits
+    running_nb = (0 if handoffs[0].is_legacy_mode()
+                  else handoffs[0].num_overhang_bits)
     running_dc = list(handoffs[0].last_dc)
     running_start = handoffs[0].luma_y_start
     running_end = handoffs[0].luma_y_end
