@@ -78,8 +78,6 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
     parsed = parse_jpeg(jpeg_data)
     info = image_info_from_header(parsed.hdrdata)
     dec = decode_scans(parsed, info, allow_progressive=allow_progressive)
-    if not dec.is_baseline:
-        raise LeptonError("progressive encode not yet supported")
 
     row_handoffs = dec.handoffs
     fb_size = row_handoffs[-1].segment_size - row_handoffs[0].segment_size
@@ -108,7 +106,7 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
 
     hdr = LeptonHeader()
     hdr.version = 1
-    hdr.mode = ord("Z")
+    hdr.mode = ord("Z") if dec.is_baseline else ord("X")
     hdr.num_threads = num_threads
     hdr.original_size = parsed.jpgfilesize
     hdr.hdrdata = parsed.hdrdata
@@ -128,8 +126,6 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
 
 def decompress(lep_data: bytes) -> bytes:
     hdr, mux_region = read_container(lep_data)
-    if hdr.mode == ord("X"):
-        raise LeptonError("progressive decode not yet supported")
     info = image_info_from_header(hdr.hdrdata)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
     planes = [np.zeros((info.cmpnfo[c].bcv, info.cmpnfo[c].bch, 64),
@@ -171,6 +167,12 @@ def decompress(lep_data: bytes) -> bytes:
             decode_segment(image, data, th.luma_y_start, end_y, is_last)
 
     info2 = image_info_from_header(hdr.hdrdata)
+    if hdr.mode == ord("X"):
+        from .jpeg.recode_progressive import recode_progressive_jpeg
+        return recode_progressive_jpeg(
+            hdr.hdrdata, planes, info2, hdr.padbit, hdr.rst_cnt,
+            hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
+            hdr.prefix_garbage or None, hdr.embedded_jpeg)
     return recode_baseline_jpeg(
         hdr.hdrdata, planes, handoffs, info2, hdr.padbit,
         hdr.rst_cnt, hdr.rst_cnt_set, hdr.rst_err, hdr.garbage,

@@ -129,15 +129,19 @@ def decode_scans(parsed: ParsedJpeg, info: ImageInfo,
             if not allow_progressive:
                 raise UnsupportedJpeg("progressive JPEG (use allowprogressive)")
             out.is_baseline = False
-            from .progressive import decode_progressive_scan
-            padbit, sta = decode_progressive_scan(
-                reader, info, out, padbit)
+
+        if info.jpegtype != 1:
+            # progressive scan variants (handoffs crystallize in DC scans)
+            st = dict(mcu=mcu, lastdc=lastdc, padbit=padbit)
+            _decode_progressive_scan(reader, info, out, st, offsets,
+                                     handoffs, luma_mul, scnc)
+            mcu = st["mcu"]
+            lastdc = st["lastdc"]
+            padbit = st["padbit"]
             scnc += 1
-            if sta == 2 and reader.eof:
-                pass
             continue
 
-        # ---- baseline sequential scan ----
+        # ---- baseline sequential scan (interleaved or partial) ----
         if use_native is None:
             use_native = _native_available()
         if use_native:
@@ -363,3 +367,231 @@ def _next_mcuposn(info: ImageInfo, cmp, dpos, rstw):
         if rstw == 0:
             return 1, dpos, rstw
     return 0, dpos, rstw
+
+
+
+def _i16(v: int) -> int:
+    """int16 wraparound of an arbitrary python int."""
+    v &= 0xFFFF
+    return v - 0x10000 if v >= 0x8000 else v
+
+def _decode_progressive_scan(reader: BitReader, info: ImageInfo,
+                             out: DecodedScanData, st, offsets, handoffs,
+                             luma_mul: int, scnc: int) -> None:
+    """One progressive scan: all variants + restart intervals
+    (jpgcoder.cc:2990-3260 progressive branches)."""
+    from .progressive import (decode_ac_prg_fs, decode_ac_prg_sa,
+                              decode_dc_prg_fs, decode_dc_prg_sa,
+                              decode_eobrun_sa, skip_eobrun)
+    sc = info.scan
+    planes = out.planes
+    lastdc = st["lastdc"]
+    padbit = st["padbit"]
+    mcu = st["mcu"]
+    cmp = sc.cs_cmp[0]
+    csc = 0
+    mcu = 0
+    sub = 0
+    dpos = 0
+    do_handoff = True
+    block = [0] * 64
+    eobrun_box = [0]
+    peobrun = 0
+
+    def load_block(c, d, frm, to):
+        ci = info.cmpnfo[c]
+        y, x = divmod(d, ci.bch)
+        pl = planes[c][y, x]
+        for b in range(frm, to + 1):
+            block[b] = int(pl[_ZIG2RAST[b]])
+
+    def store_block_shifted(c, d, frm, eob, sal):
+        ci = info.cmpnfo[c]
+        y, x = divmod(d, ci.bch)
+        pl = planes[c][y, x]
+        for b in range(frm, eob):
+            pl[_ZIG2RAST[b]] = _i16(block[b] << sal)
+
+    def add_block_shifted(c, d, frm, to, sal):
+        ci = info.cmpnfo[c]
+        y, x = divmod(d, ci.bch)
+        pl = planes[c][y, x]
+        for b in range(frm, to + 1):
+            pl[_ZIG2RAST[b]] = _i16(int(pl[_ZIG2RAST[b]])
+                                    + (block[b] << sal))
+
+    while True:  # restart-interval loop
+        lastdc[0] = lastdc[1] = lastdc[2] = lastdc[3] = 0
+        sta = 0
+        eobrun_box[0] = 0
+        peobrun = 0
+        rstw = info.rsti
+
+        if sc.cs_cmpc > 1:
+            if sc.cs_sah == 0:
+                # progressive interleaved DC, first stage
+                while sta == 0:
+                    if do_handoff:
+                        handoffs.append(_crystallize(
+                            reader, offsets, None, mcu // info.mcuh,
+                            lastdc, luma_mul))
+                        do_handoff = False
+                    if not reader.eof:
+                        out.max_dpos[cmp] = max(dpos, out.max_dpos[cmp])
+                    ci = info.cmpnfo[cmp]
+                    sta = decode_dc_prg_fs(
+                        reader, info.hcodes[0][ci.huffdc], block)
+                    y, x = divmod(dpos, ci.bch)
+                    dc = _i16(block[0] + lastdc[cmp])
+                    lastdc[cmp] = dc
+                    planes[cmp][y, x, 0] = _i16(dc << sc.cs_sal)
+                    old_mcu = mcu
+                    if sta != -1:
+                        sta, mcu, cmp, csc, sub, dpos, rstw = _next_mcupos(
+                            info, sc, mcu, cmp, csc, sub, dpos, rstw)
+                    if mcu % info.mcuh == 0 and old_mcu != mcu:
+                        do_handoff = True
+                    if reader.eof:
+                        sta = 2
+                        break
+            else:
+                # progressive interleaved DC, refinement
+                while sta == 0:
+                    if not reader.eof:
+                        out.max_dpos[cmp] = max(dpos, out.max_dpos[cmp])
+                    sta = decode_dc_prg_sa(reader, block)
+                    ci = info.cmpnfo[cmp]
+                    y, x = divmod(dpos, ci.bch)
+                    planes[cmp][y, x, 0] = _i16(
+                        int(planes[cmp][y, x, 0])
+                        + (block[0] << sc.cs_sal))
+                    if sta != -1:
+                        sta, mcu, cmp, csc, sub, dpos, rstw = _next_mcupos(
+                            info, sc, mcu, cmp, csc, sub, dpos, rstw)
+                    if reader.eof:
+                        sta = 2
+                        break
+        else:
+            if sc.cs_to == 0:
+                if sc.cs_sah == 0:
+                    # progressive non-interleaved DC, first stage
+                    while sta == 0:
+                        if do_handoff:
+                            handoffs.append(_crystallize(
+                                reader, offsets, None,
+                                dpos // info.cmpnfo[cmp].bch,
+                                lastdc, luma_mul))
+                            do_handoff = False
+                        if not reader.eof:
+                            out.max_dpos[cmp] = max(dpos, out.max_dpos[cmp])
+                        ci = info.cmpnfo[cmp]
+                        sta = decode_dc_prg_fs(
+                            reader, info.hcodes[0][ci.huffdc], block)
+                        y, x = divmod(dpos, ci.bch)
+                        dc = _i16(block[0] + lastdc[cmp])
+                        lastdc[cmp] = dc
+                        planes[cmp][y, x, 0] = _i16(dc << sc.cs_sal)
+                        if sta != -1:
+                            sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
+                                                            rstw)
+                        if cmp == 0 and dpos % info.cmpnfo[cmp].bch == 0:
+                            do_handoff = True
+                        if reader.eof:
+                            sta = 2
+                            break
+                else:
+                    # progressive non-interleaved DC, refinement
+                    while sta == 0:
+                        if not reader.eof:
+                            out.max_dpos[cmp] = max(dpos, out.max_dpos[cmp])
+                        sta = decode_dc_prg_sa(reader, block)
+                        ci = info.cmpnfo[cmp]
+                        y, x = divmod(dpos, ci.bch)
+                        planes[cmp][y, x, 0] = _i16(
+                            int(planes[cmp][y, x, 0])
+                            + (block[0] << sc.cs_sal))
+                        if sta != -1:
+                            sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
+                                                            rstw)
+                        if reader.eof:
+                            sta = 2
+                            break
+            else:
+                ci = info.cmpnfo[cmp]
+                actree = info.hcodes[1][ci.huffac]
+                max_eobrun = actree.max_eobrun if actree else 0
+                if sc.cs_sah == 0:
+                    # progressive non-interleaved AC, first stage
+                    while sta == 0:
+                        if not reader.eof:
+                            out.max_dpos[cmp] = max(dpos, out.max_dpos[cmp])
+                        for b in range(sc.cs_from, sc.cs_to + 1):
+                            block[b] = 0
+                        eob = decode_ac_prg_fs(reader, actree, block,
+                                               eobrun_box, sc.cs_from,
+                                               sc.cs_to)
+                        peobrun = eobrun_box[0]
+                        if eob >= 0:
+                            store_block_shifted(cmp, dpos, sc.cs_from, eob,
+                                                sc.cs_sal)
+                        if eob < 0:
+                            sta = -1
+                        else:
+                            sta, dpos, rstw = skip_eobrun(info, cmp, dpos,
+                                                          rstw, eobrun_box)
+                        if sta == 0:
+                            sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
+                                                            rstw)
+                        if reader.eof:
+                            sta = 2
+                            break
+                else:
+                    # progressive non-interleaved AC, refinement
+                    while sta == 0:
+                        load_block(cmp, dpos, sc.cs_from, sc.cs_to)
+                        if eobrun_box[0] == 0:
+                            if not reader.eof:
+                                out.max_dpos[cmp] = max(dpos,
+                                                        out.max_dpos[cmp])
+                            eob = decode_ac_prg_sa(reader, actree, block,
+                                                   eobrun_box, sc.cs_from,
+                                                   sc.cs_to)
+                        else:
+                            if not reader.eof:
+                                out.max_dpos[cmp] = max(dpos,
+                                                        out.max_dpos[cmp])
+                            eob = decode_eobrun_sa(reader, block, eobrun_box,
+                                                   sc.cs_from, sc.cs_to)
+                        peobrun = eobrun_box[0]
+                        # copy back: add shifted bits
+                        ci2 = info.cmpnfo[cmp]
+                        y, x = divmod(dpos, ci2.bch)
+                        pl = planes[cmp][y, x]
+                        for b in range(sc.cs_from, sc.cs_to + 1):
+                            pl[_ZIG2RAST[b]] = _i16(
+                                int(pl[_ZIG2RAST[b]])
+                                + (block[b] << sc.cs_sal))
+                        if eob < 0:
+                            sta = -1
+                        else:
+                            sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
+                                                            rstw)
+                        if reader.eof:
+                            sta = 2
+                            break
+
+        # unpad / padbit bookkeeping
+        if padbit != -1:
+            if padbit != reader.unpad(padbit):
+                padbit = 1
+        else:
+            padbit = reader.unpad(padbit)
+
+        if sta == -1:
+            raise JpegDecodeError("decode error in progressive scan")
+        if sta == 2:
+            break
+
+    st["mcu"] = mcu
+    st["lastdc"] = lastdc
+    st["padbit"] = padbit
