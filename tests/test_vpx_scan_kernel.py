@@ -1,0 +1,48 @@
+"""Batched phase-B coder scan kernel vs the scalar coder (small sizes)."""
+import random
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from lepton_tpu.coder.vpx import BoolWriter  # noqa: E402
+from lepton_tpu.kernels import vpx_scan  # noqa: E402
+from lepton_tpu.model.branch import update_branch  # noqa: E402
+from lepton_tpu.model.tables import ARENA_SIZE  # noqa: E402
+
+
+def _scalar_encode(idx, bits):
+    """Scalar reference: adaptive coding, identity-initialized branches.
+    BoolWriter emits the marker bit itself; finish() adds the stop bits --
+    matching what build_symbol_streams adds around the raw stream."""
+    state = {}
+    w = BoolWriter()
+    for i, b in zip(idx, bits):
+        fc, tc, prob = state.get(i, (1, 1, 128))
+        w.put_bit(int(b), prob)
+        state[i] = update_branch(fc, tc, prob, bool(b))
+    return w.finish()
+
+
+def test_scan_kernel_matches_scalar_coder():
+    rng = random.Random(3)
+    S = 3
+    segments = []
+    refs = []
+    for s in range(S):
+        n = 300 - s * 40  # varying lengths exercise lane padding
+        idx = [rng.randrange(ARENA_SIZE) for _ in range(n)]
+        for k in range(1, n):
+            if rng.random() < 0.7:
+                idx[k] = idx[rng.randrange(k)]  # repeat -> adaptation
+        bit = [rng.randrange(2) for _ in range(n)]
+        segments.append((np.asarray(idx, dtype=np.int32),
+                         np.asarray(bit, dtype=np.uint8)))
+        refs.append(_scalar_encode(idx, bit))
+
+    idxs, bits = vpx_scan.build_symbol_streams(segments)
+    emit, byte, carry, nbytes = vpx_scan.encode_streams(idxs, bits)
+    out = vpx_scan.finalize_streams(emit, byte, carry, nbytes)
+    for s in range(S):
+        assert out[s] == refs[s], f"segment {s}"
