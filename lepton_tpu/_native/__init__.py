@@ -102,12 +102,14 @@ class NativeImage:
         self.arena = np.empty(ARENA_SIZE * 3, dtype=np.uint8)
 
     def encode_segment(self, min_y: int, max_y: int, is_last: bool) -> bytes:
+        from ..model.tables import ARENA_SIZE
+        arena = np.empty(ARENA_SIZE * 3, dtype=np.uint8)  # per-call: thread safe
         cap = sum(p.nbytes for p in self.planes) + (1 << 20)
         out = np.empty(cap, dtype=np.uint8)
         n = self.lib.lepton_encode_segment(
             self.plane_ptrs, self.widths, self.heights, self.comp_sizes,
             self.max_heights, self.ncomp, self.mcuv, self.color_ptrs,
-            self.arena.ctypes.data_as(ctypes.c_void_p),
+            arena.ctypes.data_as(ctypes.c_void_p),
             min_y, max_y, int(is_last),
             out.ctypes.data_as(ctypes.c_void_p), cap)
         if n < 0:
@@ -116,11 +118,13 @@ class NativeImage:
 
     def decode_segment(self, data: bytes, min_y: int, max_y: int,
                        is_last: bool) -> None:
+        from ..model.tables import ARENA_SIZE
+        arena = np.empty(ARENA_SIZE * 3, dtype=np.uint8)  # per-call: thread safe
         buf = np.frombuffer(data, dtype=np.uint8)
         err = self.lib.lepton_decode_segment(
             self.plane_ptrs, self.widths, self.heights, self.comp_sizes,
             self.max_heights, self.ncomp, self.mcuv, self.color_ptrs,
-            self.arena.ctypes.data_as(ctypes.c_void_p),
+            arena.ctypes.data_as(ctypes.c_void_p),
             min_y, max_y, int(is_last),
             buf.ctypes.data_as(ctypes.c_void_p), len(data))
         if err:

@@ -9,6 +9,7 @@ Pipeline (reference call stacks, SURVEY.md section 3):
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -27,6 +28,21 @@ from .model.context import ColorTables
 
 class LeptonError(Exception):
     pass
+
+
+_MAX_WORKERS = None
+
+
+def _parallel_map(fn, jobs):
+    """Thread-pool map for GIL-dropping native segment calls."""
+    global _MAX_WORKERS
+    if _MAX_WORKERS is None:
+        _MAX_WORKERS = min(8, os.cpu_count() or 1)
+    if len(jobs) <= 1 or _MAX_WORKERS <= 1:
+        return [fn(j) for j in jobs]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(_MAX_WORKERS, len(jobs))) as ex:
+        return list(ex.map(fn, jobs))
 
 
 def _native_image(info: ImageInfo, planes, max_heights, comp_sizes):
@@ -92,17 +108,18 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
         image = ImageData([np.ascontiguousarray(p) for p in dec.planes],
                           colors, info.mcuv, max_heights, comp_sizes)
 
-    streams = []
+    jobs = []
     for i, th in enumerate(splits):
         is_last = i == len(splits) - 1
         end_y = (splits[i + 1].luma_y_start if not is_last
                  else info.cmpnfo[0].bcv)
-        if native is not None:
-            streams.append(native.encode_segment(th.luma_y_start, end_y,
-                                                 is_last))
-        else:
-            streams.append(encode_segment(image, th.luma_y_start, end_y,
-                                          is_last))
+        jobs.append((th.luma_y_start, end_y, is_last))
+    if native is not None:
+        # segments are independent streams; the C calls drop the GIL
+        streams = _parallel_map(
+            lambda j: native.encode_segment(*j), jobs)
+    else:
+        streams = [encode_segment(image, *j) for j in jobs]
 
     hdr = LeptonHeader()
     hdr.version = 1
@@ -156,15 +173,19 @@ def decompress(lep_data: bytes) -> bytes:
     if handoffs:
         handoffs[-1].luma_y_end = info.cmpnfo[0].bcv
     demux = MuxReader(mux_region)
+    jobs = []
     for i, th in enumerate(handoffs):
         is_last = i == len(handoffs) - 1
         end_y = handoffs[i + 1].luma_y_start if not is_last else \
             info.cmpnfo[0].bcv
-        data = bytes(demux.buffers[i])
-        if native is not None:
-            native.decode_segment(data, th.luma_y_start, end_y, is_last)
-        else:
-            decode_segment(image, data, th.luma_y_start, end_y, is_last)
+        jobs.append((bytes(demux.buffers[i]), th.luma_y_start, end_y,
+                     is_last))
+    if native is not None:
+        # each segment decodes a disjoint row range of the shared planes
+        _parallel_map(lambda j: native.decode_segment(*j), jobs)
+    else:
+        for j in jobs:
+            decode_segment(image, *j)
 
     info2 = image_info_from_header(hdr.hdrdata)
     if hdr.mode == ord("X"):
@@ -177,3 +198,109 @@ def decompress(lep_data: bytes) -> bytes:
         hdr.hdrdata, planes, handoffs, info2, hdr.padbit,
         hdr.rst_cnt, hdr.rst_cnt_set, hdr.rst_err, hdr.garbage,
         hdr.original_size, hdr.prefix_garbage or None, hdr.embedded_jpeg)
+
+
+# The fake 1x1 grayscale JPEG header used to wrap non-JPEG inputs
+# (reference generic_compress.cc:38-53 basic_header)
+_BASIC_HEADER = bytes([
+    0xff, 0xe0, 0x00, 0x10, 0x4a, 0x46, 0x49, 0x46, 0x00, 0x01,
+    0x01, 0x02, 0x00, 0x1c, 0x00, 0x1c, 0x00, 0x00, 0xff, 0xdb, 0x00, 0x43,
+    0x00, 0x03, 0x02, 0x02, 0x02, 0x02, 0x02, 0x03, 0x02, 0x02, 0x02, 0x03,
+    0x03, 0x03, 0x03, 0x04, 0x06, 0x04, 0x04, 0x04, 0x04, 0x04, 0x08, 0x06,
+    0x06, 0x05, 0x06, 0x09, 0x08, 0x0a, 0x0a, 0x09, 0x08, 0x09, 0x09, 0x0a,
+    0x0c, 0x0f, 0x0c, 0x0a, 0x0b, 0x0e, 0x0b, 0x09, 0x09, 0x0d, 0x11, 0x0d,
+    0x0e, 0x0f, 0x10, 0x10, 0x11, 0x10, 0x0a, 0x0c, 0x12, 0x13, 0x12, 0x10,
+    0x13, 0x0f, 0x10, 0x10, 0x10, 0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x01,
+    0x00, 0x01, 0x01, 0x01, 0x11, 0x00, 0xff, 0xc4, 0x00, 0x14, 0x00, 0x01,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x09, 0xff, 0xc4, 0x00, 0x14, 0x10, 0x01, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3f, 0x00,
+    0x54, 0xdd,
+])
+
+
+def generic_compress(data: bytes, num_threads: int = 8) -> bytes:
+    """Wrap arbitrary bytes as a decodable .lep (generic_compress.cc:60-223).
+
+    The payload rides as embedded prefix garbage over a fake 1x1 JPEG; the
+    decode byte-bound makes reconstruction exact.
+    """
+    if len(data) == 0:
+        raise LeptonError("empty input unsupported")
+    hdr = LeptonHeader()
+    hdr.version = 1
+    hdr.mode = ord("Y")
+    hdr.num_threads = num_threads
+    hdr.original_size = len(data)
+    hdr.hdrdata = _BASIC_HEADER
+    hdr.padbit = 0
+    hdr.handoffs = [ThreadHandoff() for _ in range(num_threads)]
+    hdr.garbage = b""          # explicit empty GRB
+    hdr.prefix_garbage = data
+    hdr.embedded_jpeg = True
+    return write_container(hdr, b"")
+
+
+def compress_any(data: bytes, permissive: bool = False, verify: bool = True,
+                 **kw) -> bytes:
+    """Compress with optional roundtrip validation and permissive fallback
+    (the validateAndCompress contract, validation.cc:15-219)."""
+    try:
+        lep = compress(data, **kw)
+        if verify:
+            if decompress(lep) != data:
+                raise LeptonError("roundtrip verification failed")
+        return lep
+    except Exception:
+        if permissive:
+            return generic_compress(data)
+        raise
+
+
+def decompress_all(data: bytes) -> bytes:
+    """Decode a (possibly concatenated) stream of .lep containers
+    (the -lepcat / multi-file decode loop, jpgcoder.cc:1884-1897)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos + 2 <= n and data[pos:pos + 2] == bytes([0xCF, 0x84]):
+        # each container records its own total size in the trailing LE32;
+        # scan forward from its recorded layout
+        sub = data[pos:]
+        hdr_block_size = int.from_bytes(sub[24:28], "little")
+        # locate trailing size: walk the mux region is unnecessary -- the
+        # trailer is the final 4 bytes of the container; find next magic by
+        # using the recorded total size of this container
+        # (write_container stores total size including the trailer)
+        # fallback: if the size field is implausible, assume single file
+        total = None
+        # the size lives at the end; search via the declared structure:
+        # 28 + hdr_block + 3 ("CMP") + mux... we must trust the trailer of
+        # the whole remaining buffer for single files
+        # Try parsing as a single container first
+        try:
+            out += decompress(sub)
+            declared = int.from_bytes(sub[-4:], "little")
+            if declared == len(sub):
+                break  # consumed everything
+        except Exception:
+            # multi-container: find the next magic by scanning candidate
+            # trailers (LE32 total size whose value reaches a next magic)
+            found = False
+            for end in range(pos + 28 + hdr_block_size, n - 1):
+                declared = int.from_bytes(data[end:end + 4], "little")
+                if declared == end + 4 - pos and \
+                        (end + 4 == n or
+                         data[end + 4:end + 6] == bytes([0xCF, 0x84])):
+                    out += decompress(data[pos:end + 4])
+                    pos = end + 4
+                    found = True
+                    break
+            if not found:
+                raise
+            continue
+        break
+    if not out:
+        raise LeptonError("no decodable lepton container found")
+    return bytes(out)

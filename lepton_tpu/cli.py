@@ -1,0 +1,217 @@
+"""lepton-compatible command line interface.
+
+Flag surface mirrors the reference driver (jpgcoder.cc:988-1219
+initialize_options, :2085 show_help): file-type sniffing by magic bytes,
+encode-with-verification by default, singlethread/threads controls,
+progressive gating, permissive fallback, concatenated decode, and the
+socket/fork servers (serve.py).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from . import __version__
+from .constants import LEPTON_HEADER, ZLEPTON_HEADER
+
+
+def _err(msg: str) -> None:
+    sys.stderr.write(msg + "\n")
+
+
+HELP = """lepton-tpu v{version}
+Usage: lepton [switches] input_file [output_file]
+
+  overwrite action : overwrite files
+  -version         : print version and exit
+  -v0|-v1|-v2      : verbosity
+  -singlethread    : encode/decode using a single thread
+  -allowprogressive: allow progressive jpegs through the compressor
+  -rejectprogressive: reject encoding progressive jpegs
+  -unjailed        : do not sandbox (sandboxing is a no-op placeholder)
+  -maxencodethreads=<n> : upper bound on encode segments
+  -minencodethreads=<n> : lower bound on encode segments
+  -evensplit       : split segments evenly by row count
+  -skipverify      : do not round-trip verify the encode
+  -verify          : round-trip verify the encode (default)
+  -permissive      : wrap undecodable inputs as generic lepton files
+  -brotliheader    : use brotli (v2) header compression
+  -lepcat          : concatenate lepton files
+  -socket=<path>   : serve over a unix domain socket
+  -listen=<port>   : serve over TCP
+  -zliblisten=<port>: serve zlib-wrapped TCP
+  -maxchildren=<n> : serving concurrency bound
+  -benchmark       : run the built-in benchmark
+"""
+
+
+def sniff(data: bytes) -> str:
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:2] == LEPTON_HEADER:
+        return "lepton"
+    if data[:2] == ZLEPTON_HEADER:
+        return "zlepton"
+    if data[:2] == b"UJ":
+        return "ujg"
+    return "unknown"
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    opts = dict(
+        singlethread=False, allow_progressive=False, verify=True,
+        permissive=False, even_split=False, max_threads=8, min_threads=1,
+        version=1, lepcat=False, verbosity=1, overwrite=False,
+    )
+    files = []
+    socket_path = None
+    listen_port = None
+    zlib_port = None
+    max_children = 0
+    for arg in argv:
+        if arg in ("-h", "-help", "--help"):
+            sys.stdout.write(HELP.format(version=__version__))
+            return 0
+        elif arg == "-version":
+            sys.stdout.write(f"lepton-tpu v{__version__}\n")
+            return 0
+        elif arg == "-singlethread":
+            opts["singlethread"] = True
+        elif arg == "-allowprogressive":
+            opts["allow_progressive"] = True
+        elif arg == "-rejectprogressive":
+            opts["allow_progressive"] = False
+        elif arg in ("-skipverify", "-skiproundtrip"):
+            opts["verify"] = False
+        elif arg == "-verify":
+            opts["verify"] = True
+        elif arg == "-permissive":
+            opts["permissive"] = True
+        elif arg == "-evensplit":
+            opts["even_split"] = True
+        elif arg == "-brotliheader":
+            opts["version"] = 2
+        elif arg == "-lepcat":
+            opts["lepcat"] = True
+        elif arg == "overwrite":
+            opts["overwrite"] = True
+        elif arg in ("-unjailed", "-preload", "-decode", "-encode",
+                     "-recode", "-unkillable"):
+            pass  # accepted for compatibility
+        elif arg.startswith("-maxencodethreads="):
+            opts["max_threads"] = int(arg.split("=", 1)[1])
+        elif arg.startswith("-minencodethreads="):
+            opts["min_threads"] = int(arg.split("=", 1)[1])
+        elif arg.startswith("-memory=") or arg.startswith("-threadmemory=") \
+                or arg.startswith("-recodememory=") \
+                or arg.startswith("-timebound="):
+            pass  # memory limits are advisory in this runtime
+        elif arg.startswith("-socket="):
+            socket_path = arg.split("=", 1)[1]
+        elif arg.startswith("-listen="):
+            listen_port = int(arg.split("=", 1)[1])
+        elif arg.startswith("-zliblisten="):
+            zlib_port = int(arg.split("=", 1)[1])
+        elif arg.startswith("-maxchildren="):
+            max_children = int(arg.split("=", 1)[1])
+        elif arg in ("-v0", "-v1", "-v2"):
+            opts["verbosity"] = int(arg[2])
+        elif arg == "-benchmark":
+            return _benchmark()
+        elif arg.startswith("-"):
+            _err(f"unknown flag {arg} (ignored)")
+        else:
+            files.append(arg)
+
+    if opts["singlethread"]:
+        opts["max_threads"] = opts["min_threads"] = 1
+
+    if socket_path or listen_port or zlib_port:
+        from .serve import serve
+        return serve(socket_path, listen_port, zlib_port, max_children, opts)
+
+    if opts["lepcat"]:
+        return _lepcat(files)
+
+    # stdin/stdout when no files given
+    if not files:
+        data = sys.stdin.buffer.read()
+        out, _ = _process(data, opts)
+        sys.stdout.buffer.write(out)
+        return 0
+
+    infile = files[0]
+    data = open(infile, "rb").read() if infile != "-" else \
+        sys.stdin.buffer.read()
+    out, kind = _process(data, opts)
+    if len(files) > 1:
+        outfile = files[1]
+    else:
+        if kind == "jpeg":
+            outfile = _swap_ext(infile, ".lep")
+        else:
+            outfile = _swap_ext(infile, ".jpg")
+    if outfile == "-":
+        sys.stdout.buffer.write(out)
+    else:
+        if os.path.exists(outfile) and not opts["overwrite"] and \
+                len(files) > 1 and False:
+            _err(f"output file {outfile} exists")
+            return 1
+        with open(outfile, "wb") as f:
+            f.write(out)
+    if opts["verbosity"] > 0 and kind == "jpeg":
+        _err(f"{len(out)} {len(data)}")
+        _err(f"{100.0 * len(out) / max(len(data), 1):.2f}%")
+    return 0
+
+
+def _swap_ext(path: str, ext: str) -> str:
+    base, _ = os.path.splitext(path)
+    return base + ext
+
+
+def _process(data: bytes, opts) -> tuple:
+    from .api import LeptonError, compress_any, decompress_all
+    kind = sniff(data)
+    if kind == "jpeg":
+        out = compress_any(
+            data, permissive=opts["permissive"], verify=opts["verify"],
+            max_threads=opts["max_threads"], min_threads=opts["min_threads"],
+            even_split=opts["even_split"],
+            allow_progressive=opts["allow_progressive"])
+        return out, "jpeg"
+    if kind == "lepton":
+        return decompress_all(data), "lepton"
+    if kind == "zlepton":
+        import zlib
+        return decompress_all(zlib.decompress(data[2:])), "lepton"
+    if opts["permissive"]:
+        from .api import generic_compress
+        return generic_compress(data), "generic"
+    raise LeptonError("unknown file type (use -permissive for raw bytes)")
+
+
+def _lepcat(files) -> int:
+    """Concatenate .lep files into one decodable stream (concat.cc:28)."""
+    if len(files) < 2:
+        _err("lepcat requires at least input and output files")
+        return 1
+    out = files[-1]
+    blob = b"".join(open(f, "rb").read() for f in files[:-1])
+    with open(out, "wb") as f:
+        f.write(blob)
+    return 0
+
+
+def _benchmark() -> int:
+    import json
+    import subprocess
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, os.path.join(repo_root, "bench.py")])
+    return r.returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -102,7 +102,8 @@ def build_header_block(hdr: LeptonHeader) -> bytes:
         out += b"PGE" if hdr.embedded_jpeg else b"PGR"
         out += len(hdr.prefix_garbage).to_bytes(4, "little")
         out += hdr.prefix_garbage
-    if hdr.garbage and hdr.garbage != b"\xff\xd9":
+    if hdr.garbage != b"\xff\xd9":
+        # explicit GRB, including an empty one (generic_compress.cc:141-150)
         out += b"GRB"
         out += len(hdr.garbage).to_bytes(4, "little")
         out += hdr.garbage
