@@ -304,3 +304,52 @@ def decompress_all(data: bytes) -> bytes:
     if not out:
         raise LeptonError("no decodable lepton container found")
     return bytes(out)
+
+
+def ujg_compress(jpeg_data: bytes, allow_progressive: bool = False) -> bytes:
+    """Raw-coefficient UJG output (the -ujg debug baseline)."""
+    from .constants import UJG_HEADER
+    from .container.ujg import encode_raw
+    parsed = parse_jpeg(jpeg_data)
+    info = image_info_from_header(parsed.hdrdata)
+    dec = decode_scans(parsed, info, allow_progressive=allow_progressive)
+    hdr = LeptonHeader()
+    hdr.version = 1
+    hdr.mode = ord("Z") if dec.is_baseline else ord("X")
+    hdr.num_threads = 1
+    hdr.original_size = parsed.jpgfilesize
+    hdr.hdrdata = parsed.hdrdata
+    hdr.padbit = dec.padbit
+    hdr.handoffs = dec.handoffs[:1] or [ThreadHandoff()]
+    hdr.rst_cnt = parsed.rst_cnt
+    hdr.rst_err = parsed.rst_err
+    hdr.garbage = parsed.garbage if parsed.garbage else b"\xff\xd9"
+    hdr.early_eof = dec.early_eof
+    if dec.early_eof:
+        hdr.max_cmp, hdr.max_bpos, hdr.max_sah = \
+            dec.max_cmp, dec.max_bpos, dec.max_sah
+        hdr.max_dpos = dec.max_dpos
+    return write_container(hdr, encode_raw(dec.planes), magic=UJG_HEADER)
+
+
+def ujg_decompress(ujg_data: bytes) -> bytes:
+    from .container.ujg import decode_raw
+    hdr, payload = read_container(ujg_data)
+    info = image_info_from_header(hdr.hdrdata)
+    shapes = [(info.cmpnfo[c].bcv, info.cmpnfo[c].bch)
+              for c in range(info.cmpc)]
+    planes = decode_raw(payload, shapes)
+    info2 = image_info_from_header(hdr.hdrdata)
+    if hdr.mode == ord("X"):
+        from .jpeg.recode_progressive import recode_progressive_jpeg
+        return recode_progressive_jpeg(
+            hdr.hdrdata, planes, info2, hdr.padbit, hdr.rst_cnt,
+            hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
+            hdr.prefix_garbage or None, hdr.embedded_jpeg)
+    handoffs = hdr.handoffs or [ThreadHandoff()]
+    handoffs[0].num_overhang_bits = ThreadHandoff.LEGACY_OVERHANG_BITS
+    handoffs[-1].luma_y_end = info.cmpnfo[0].bcv
+    return recode_baseline_jpeg(
+        hdr.hdrdata, planes, handoffs, info2, hdr.padbit, hdr.rst_cnt,
+        hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
+        hdr.prefix_garbage or None, hdr.embedded_jpeg)

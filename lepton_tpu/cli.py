@@ -104,9 +104,14 @@ def main(argv=None) -> int:
         elif arg.startswith("-minencodethreads="):
             opts["min_threads"] = int(arg.split("=", 1)[1])
         elif arg.startswith("-memory=") or arg.startswith("-threadmemory=") \
-                or arg.startswith("-recodememory=") \
                 or arg.startswith("-timebound="):
             pass  # memory limits are advisory in this runtime
+        elif arg.startswith("-recodememory="):
+            opts["recodememory"] = _parse_size(arg.split("=", 1)[1])
+        elif arg.startswith("-trunc="):
+            opts["trunc"] = int(arg.split("=", 1)[1])
+        elif arg == "-ujg":
+            opts["ujg"] = True
         elif arg.startswith("-socket="):
             socket_path = arg.split("=", 1)[1]
         elif arg.startswith("-listen="):
@@ -172,9 +177,23 @@ def _swap_ext(path: str, ext: str) -> str:
     return base + ext
 
 
+def _parse_size(s: str) -> int:
+    mult = 1
+    if s and s[-1] in "kKmMgG":
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[s[-1].lower()]
+        s = s[:-1]
+    return int(s) * mult
+
+
 def _process(data: bytes, opts) -> tuple:
     from .api import LeptonError, compress_any, decompress_all
     kind = sniff(data)
+    if opts.get("trunc") and kind == "jpeg":
+        data = data[:opts["trunc"]]
+    if kind == "jpeg" and opts.get("ujg"):
+        from .api import ujg_compress
+        return ujg_compress(
+            data, allow_progressive=opts["allow_progressive"]), "jpeg"
     if kind == "jpeg":
         out = compress_any(
             data, permissive=opts["permissive"], verify=opts["verify"],
@@ -182,7 +201,20 @@ def _process(data: bytes, opts) -> tuple:
             even_split=opts["even_split"],
             allow_progressive=opts["allow_progressive"])
         return out, "jpeg"
+    if kind == "ujg":
+        from .api import ujg_decompress
+        return ujg_decompress(data), "lepton"
     if kind == "lepton":
+        if opts.get("recodememory"):
+            from .api import read_container, image_info_from_header
+            from .util.membound import check_memory_bound
+            hdr, _ = read_container(data)
+            info = image_info_from_header(hdr.hdrdata)
+            if not check_memory_bound(info, hdr.num_threads,
+                                      hdr.original_size,
+                                      opts["recodememory"]):
+                _err("decompression memory bound exceeded")
+                sys.exit(37)
         return decompress_all(data), "lepton"
     if kind == "zlepton":
         import zlib

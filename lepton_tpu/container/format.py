@@ -110,9 +110,10 @@ def build_header_block(hdr: LeptonHeader) -> bytes:
     return bytes(out)
 
 
-def write_container(hdr: LeptonHeader, mux_data: bytes) -> bytes:
+def write_container(hdr: LeptonHeader, mux_data: bytes,
+                    magic: bytes = C.LEPTON_HEADER) -> bytes:
     out = bytearray()
-    out += C.LEPTON_HEADER
+    out += magic
     out.append(hdr.version)
     out.append(hdr.mode)
     out.append(hdr.num_threads)
@@ -131,7 +132,7 @@ def write_container(hdr: LeptonHeader, mux_data: bytes) -> bytes:
 
 def read_container(data: bytes):
     """Returns (LeptonHeader, mux_region_bytes)."""
-    if data[:2] != C.LEPTON_HEADER:
+    if data[:2] not in (C.LEPTON_HEADER, C.UJG_HEADER):
         raise ContainerError("bad magic")
     hdr = LeptonHeader()
     hdr.version = data[2]
