@@ -258,49 +258,38 @@ def compress_any(data: bytes, permissive: bool = False, verify: bool = True,
         raise
 
 
+def _container_end(data: bytes, pos: int) -> int:
+    """Find the end of the container starting at `pos`.
+
+    Containers carry their total size in a trailing LE32 (vp8_encoder.cc:
+    602-614); for concatenated streams (the -lepcat decode loop,
+    jpgcoder.cc:1884-1897) we scan candidate trailers whose declared size
+    reaches either the stream end or the next magic.
+    """
+    n = len(data)
+    hdr_block_size = int.from_bytes(data[pos + 24:pos + 28], "little")
+    start = pos + 28 + hdr_block_size + 3
+    # fast path: single container occupying the rest of the stream
+    if int.from_bytes(data[n - 4:n], "little") == n - pos:
+        return n
+    for end in range(start, n - 3):
+        declared = int.from_bytes(data[end:end + 4], "little")
+        if declared == end + 4 - pos and \
+                (end + 4 == n or
+                 data[end + 4:end + 6] == bytes([0xCF, 0x84])):
+            return end + 4
+    raise LeptonError("cannot find container boundary")
+
+
 def decompress_all(data: bytes) -> bytes:
-    """Decode a (possibly concatenated) stream of .lep containers
-    (the -lepcat / multi-file decode loop, jpgcoder.cc:1884-1897)."""
+    """Decode a (possibly concatenated) stream of .lep containers."""
     out = bytearray()
     pos = 0
     n = len(data)
     while pos + 2 <= n and data[pos:pos + 2] == bytes([0xCF, 0x84]):
-        # each container records its own total size in the trailing LE32;
-        # scan forward from its recorded layout
-        sub = data[pos:]
-        hdr_block_size = int.from_bytes(sub[24:28], "little")
-        # locate trailing size: walk the mux region is unnecessary -- the
-        # trailer is the final 4 bytes of the container; find next magic by
-        # using the recorded total size of this container
-        # (write_container stores total size including the trailer)
-        # fallback: if the size field is implausible, assume single file
-        total = None
-        # the size lives at the end; search via the declared structure:
-        # 28 + hdr_block + 3 ("CMP") + mux... we must trust the trailer of
-        # the whole remaining buffer for single files
-        # Try parsing as a single container first
-        try:
-            out += decompress(sub)
-            declared = int.from_bytes(sub[-4:], "little")
-            if declared == len(sub):
-                break  # consumed everything
-        except Exception:
-            # multi-container: find the next magic by scanning candidate
-            # trailers (LE32 total size whose value reaches a next magic)
-            found = False
-            for end in range(pos + 28 + hdr_block_size, n - 1):
-                declared = int.from_bytes(data[end:end + 4], "little")
-                if declared == end + 4 - pos and \
-                        (end + 4 == n or
-                         data[end + 4:end + 6] == bytes([0xCF, 0x84])):
-                    out += decompress(data[pos:end + 4])
-                    pos = end + 4
-                    found = True
-                    break
-            if not found:
-                raise
-            continue
-        break
+        end = _container_end(data, pos)
+        out += decompress(data[pos:end])
+        pos = end
     if not out:
         raise LeptonError("no decodable lepton container found")
     return bytes(out)

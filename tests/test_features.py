@@ -1,0 +1,108 @@
+"""Feature-level tests: permissive wrapper, UJG, truncation, concat, CLI."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+from lepton_tpu.api import (compress, compress_any, decompress,
+                            decompress_all, generic_compress, ujg_compress,
+                            ujg_decompress)
+
+
+def test_generic_compress_roundtrip():
+    payload = bytes(range(256)) * 37
+    lep = generic_compress(payload)
+    assert decompress(lep) == payload
+
+
+def test_generic_compress_via_reference(ref_binary, tmp_path):
+    payload = b"arbitrary \x00\xff bytes" * 99
+    lep = generic_compress(payload)
+    f = tmp_path / "g.lep"
+    f.write_bytes(lep)
+    out = tmp_path / "g.out"
+    r = subprocess.run([ref_binary, str(f), str(out)], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == payload
+
+
+def test_compress_any_permissive_fallback():
+    data = b"not a jpeg at all"
+    with pytest.raises(Exception):
+        compress_any(data, permissive=False)
+
+
+def test_ujg_roundtrip(ref_images):
+    data = open(os.path.join(ref_images, "nofsync.jpg"), "rb").read()
+    assert ujg_decompress(ujg_compress(data)) == data
+
+
+def test_truncated_input_roundtrip(ref_images):
+    data = open(os.path.join(ref_images, "androidcrop.jpg"), "rb").read()
+    for n in (30000, 50001):
+        prefix = data[:n]
+        assert decompress(compress(prefix)) == prefix
+
+
+def test_concatenated_decode(ref_images):
+    a = open(os.path.join(ref_images, "colorswap.jpg"), "rb").read()
+    b = open(os.path.join(ref_images, "nofsync.jpg"), "rb").read()
+    blob = compress(a) + compress(b)
+    assert decompress_all(blob) == a + b
+
+
+def test_cli_roundtrip(ref_images, tmp_path):
+    src = os.path.join(ref_images, "nofsync.jpg")
+    lep = tmp_path / "x.lep"
+    jpg = tmp_path / "x.jpg"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    r = subprocess.run([sys.executable, os.path.join(repo, "lepton"),
+                        src, str(lep)], capture_output=True, env=env)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([sys.executable, os.path.join(repo, "lepton"),
+                        str(lep), str(jpg)], capture_output=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert jpg.read_bytes() == open(src, "rb").read()
+
+
+def test_sixteen_segment_encode(ref_images, ref_binary, tmp_path):
+    """More segments than reference worker threads (logical>physical)."""
+    data = open(os.path.join(ref_images, "androidcrop.jpg"), "rb").read()
+    lep = compress(data, max_threads=16, min_threads=16)
+    assert lep[4] == 16
+    assert decompress(lep) == data
+    f = tmp_path / "s16.lep"
+    f.write_bytes(lep)
+    out = tmp_path / "s16.jpg"
+    r = subprocess.run([ref_binary, str(f), str(out)], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == data
+
+
+def test_billing_accounting(ref_images):
+    import numpy as np
+    from lepton_tpu import _native
+    from lepton_tpu.api import _truncation_geometry
+    from lepton_tpu.constants import RASTER_TO_ZIGZAG
+    from lepton_tpu.jpeg.decoder import decode_scans
+    from lepton_tpu.jpeg.imageinfo import image_info_from_header
+    from lepton_tpu.jpeg.parser import parse_jpeg
+    from lepton_tpu.util.billing import bill_symbol_stream
+    if not _native.available():
+        pytest.skip("needs native")
+    data = open(os.path.join(ref_images, "colorswap.jpg"), "rb").read()
+    parsed = parse_jpeg(data)
+    info = image_info_from_header(parsed.hdrdata)
+    dec = decode_scans(parsed, info)
+    q = [np.asarray(info.qtables[info.cmpnfo[c].qtable_index])[
+        RASTER_TO_ZIGZAG] for c in range(info.cmpc)]
+    mh, cs = _truncation_geometry(info, dec)
+    nat = _native.NativeImage(dec.planes, q, info.mcuv, mh, cs)
+    idx, bit = _native.native_symbolize_segment(
+        nat, 0, info.cmpnfo[0].bcv, True)
+    bill = bill_symbol_stream(idx)
+    assert sum(bill.values()) == len(idx)
+    assert bill["NZ_7x7"] == 6 * sum(
+        p.shape[0] * p.shape[1] for p in dec.planes)
