@@ -90,7 +90,8 @@ def _truncation_geometry(info: ImageInfo, hdr_or_dec) -> tuple:
 
 def compress(jpeg_data: bytes, max_threads: int = 8,
              min_threads: int = 1, even_split: bool = False,
-             allow_progressive: bool = False) -> bytes:
+             allow_progressive: bool = False, version: int = 1) -> bytes:
+    ans = version == 3
     parsed = parse_jpeg(jpeg_data)
     info = image_info_from_header(parsed.hdrdata)
     dec = decode_scans(parsed, info, allow_progressive=allow_progressive)
@@ -102,7 +103,8 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
     splits = select_splits(row_handoffs, num_threads, even_split)
 
     max_heights, comp_sizes = _truncation_geometry(info, dec)
-    native = _native_image(info, dec.planes, max_heights, comp_sizes)
+    native = None if ans else _native_image(info, dec.planes, max_heights,
+                                            comp_sizes)
     if native is None:
         colors = _color_tables(info)
         image = ImageData([np.ascontiguousarray(p) for p in dec.planes],
@@ -119,10 +121,10 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
         streams = _parallel_map(
             lambda j: native.encode_segment(*j), jobs)
     else:
-        streams = [encode_segment(image, *j) for j in jobs]
+        streams = [encode_segment(image, *j, ans=ans) for j in jobs]
 
     hdr = LeptonHeader()
-    hdr.version = 1
+    hdr.version = version
     hdr.mode = ord("Z") if dec.is_baseline else ord("X")
     hdr.num_threads = num_threads
     hdr.original_size = parsed.jpgfilesize
@@ -145,9 +147,11 @@ def decompress(lep_data: bytes) -> bytes:
     hdr, mux_region = read_container(lep_data)
     info = image_info_from_header(hdr.hdrdata)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
+    ans = hdr.version == 3
     planes = [np.zeros((info.cmpnfo[c].bcv, info.cmpnfo[c].bch, 64),
                        dtype=np.int16) for c in range(info.cmpc)]
-    native = _native_image(info, planes, max_heights, comp_sizes)
+    native = None if ans else _native_image(info, planes, max_heights,
+                                            comp_sizes)
     if native is not None:
         planes = native.planes
     else:
@@ -185,7 +189,7 @@ def decompress(lep_data: bytes) -> bytes:
         _parallel_map(lambda j: native.decode_segment(*j), jobs)
     else:
         for j in jobs:
-            decode_segment(image, *j)
+            decode_segment(image, *j, ans=ans)
 
     info2 = image_info_from_header(hdr.hdrdata)
     if hdr.mode == ord("X"):

@@ -91,7 +91,9 @@ def main(argv=None) -> int:
         elif arg == "-evensplit":
             opts["even_split"] = True
         elif arg == "-brotliheader":
-            opts["version"] = 2
+            opts["version"] = max(opts["version"], 2)
+        elif arg == "-ans":
+            opts["version"] = 3
         elif arg == "-lepcat":
             opts["lepcat"] = True
         elif arg == "overwrite":
@@ -199,7 +201,8 @@ def _process(data: bytes, opts) -> tuple:
             data, permissive=opts["permissive"], verify=opts["verify"],
             max_threads=opts["max_threads"], min_threads=opts["min_threads"],
             even_split=opts["even_split"],
-            allow_progressive=opts["allow_progressive"])
+            allow_progressive=opts["allow_progressive"],
+            version=opts["version"])
         return out, "jpeg"
     if kind == "ujg":
         from .api import ujg_decompress

@@ -19,14 +19,22 @@ import numpy as np
 
 from .. import constants as C
 from ..model import context as ctx
-from ..model.branch import next_state_lut
+from ..model.branch import next_state_lut, next_state_lut_adv
 from ..model.tables import Model, TABLE_OFFSETS, TABLE_STRIDES
 
 _UNZIG49 = [int(v) for v in C.UNZIGZAG49]
 _NZ_BIN = [int(v) for v in C.NONZERO_TO_BIN]
 
-# Flattened next-state LUT: index = ((fc<<8 | tc) << 1 | obs) * 3
+# Flattened next-state LUTs: index = ((fc<<8 | tc) << 1 | obs) * 3
 _LUT3 = next_state_lut().reshape(-1).tobytes()
+_LUT3_ADV = None
+
+
+def _lut3_adv():
+    global _LUT3_ADV
+    if _LUT3_ADV is None:
+        _LUT3_ADV = next_state_lut_adv().reshape(-1).tobytes()
+    return _LUT3_ADV
 
 # Precomputed table base offsets / strides (plain ints for the hot loop)
 _OFF = {k: int(v) for k, v in TABLE_OFFSETS.items()}
@@ -36,30 +44,34 @@ _STR = {k: tuple(int(s) for s in v) for k, v in TABLE_STRIDES.items()}
 class Coder:
     """Couples a bool writer/reader with the adaptive model arena."""
 
-    __slots__ = ("arena", "writer", "reader")
+    __slots__ = ("arena", "writer", "reader", "lut")
 
-    def __init__(self, arena: bytearray = None, writer=None, reader=None):
+    def __init__(self, arena: bytearray = None, writer=None, reader=None,
+                 ans: bool = False):
         self.arena = arena
         self.writer = writer
         self.reader = reader
+        self.lut = _lut3_adv() if ans else _LUT3
 
     def put(self, bit: int, idx: int) -> None:
         a = self.arena
+        lut = self.lut
         o = idx * 3
         self.writer.put_bit(bit, a[o + 2])
         s = (((a[o] << 8) | a[o + 1]) << 1 | bit) * 3
-        a[o] = _LUT3[s]
-        a[o + 1] = _LUT3[s + 1]
-        a[o + 2] = _LUT3[s + 2]
+        a[o] = lut[s]
+        a[o + 1] = lut[s + 1]
+        a[o + 2] = lut[s + 2]
 
     def get(self, idx: int) -> int:
         a = self.arena
+        lut = self.lut
         o = idx * 3
         bit = self.reader.get_bit(a[o + 2])
         s = (((a[o] << 8) | a[o + 1]) << 1 | bit) * 3
-        a[o] = _LUT3[s]
-        a[o + 1] = _LUT3[s + 1]
-        a[o + 2] = _LUT3[s + 2]
+        a[o] = lut[s]
+        a[o + 1] = lut[s + 1]
+        a[o + 2] = lut[s + 2]
         return bit
 
 

@@ -171,17 +171,25 @@ def _run_segment(image: ImageData, coder: Coder, min_y: int, max_y: int,
 
 
 def encode_segment(image: ImageData, min_y: int, max_y: int,
-                   is_last_thread: bool) -> bytes:
+                   is_last_thread: bool, ans: bool = False) -> bytes:
     """Encode one thread-segment into an independent arithmetic stream."""
-    writer = BoolWriter()
-    coder = Coder(writer=writer)
+    if ans:
+        from ..coder.ans import ANSWriter
+        writer = ANSWriter()
+    else:
+        writer = BoolWriter()
+    coder = Coder(writer=writer, ans=ans)
     _run_segment(image, coder, min_y, max_y, is_last_thread, True)
     return writer.finish()
 
 
 def decode_segment(image: ImageData, data: bytes, min_y: int, max_y: int,
-                   is_last_thread: bool) -> None:
+                   is_last_thread: bool, ans: bool = False) -> None:
     """Decode one thread-segment stream into the shared planes."""
-    reader = BoolReader(data)
-    coder = Coder(reader=reader)
+    if ans:
+        from ..coder.ans import ANSReader
+        reader = ANSReader(data)
+    else:
+        reader = BoolReader(data)
+    coder = Coder(reader=reader, ans=ans)
     _run_segment(image, coder, min_y, max_y, is_last_thread, False)

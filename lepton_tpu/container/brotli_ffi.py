@@ -49,7 +49,11 @@ def decompress(data: bytes, max_size: int = 1 << 28) -> bytes:
         size *= 4
 
 
-def compress(data: bytes, quality: int = 9, lgwin: int = 22) -> bytes:
+def compress(data: bytes, quality: int = 10, lgwin: int = None) -> bytes:
+    # reference defaults: quality 10, lgwin = bit_length(size)+1 clamped
+    # (BrotliCompression.cc:48-68, BrotliCompression.hh:47)
+    if lgwin is None:
+        lgwin = max(10, min(24, len(data).bit_length() + 1))
     enc, _ = _load()
     max_size = enc.BrotliEncoderMaxCompressedSize(ctypes.c_size_t(len(data)))
     out = ctypes.create_string_buffer(max_size or len(data) + 1024)

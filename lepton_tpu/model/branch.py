@@ -99,3 +99,39 @@ def next_state_lut() -> np.ndarray:
     if _next_state is None:
         _next_state = _build_next_state()
     return _next_state
+
+
+_next_state_adv = None
+
+
+def _build_next_state_adv() -> np.ndarray:
+    """Transition LUT for adv_record_obs_and_update (branch.hh:66-80),
+    the ANS-backend update rule (probability always ORed with 1)."""
+    fc = np.arange(256, dtype=np.int64)[:, None] * np.ones(256, dtype=np.int64)[None, :]
+    tc = np.ones(256, dtype=np.int64)[:, None] * np.arange(256, dtype=np.int64)[None, :]
+    out = np.zeros((256, 256, 2, 3), dtype=np.uint8)
+    for obs in (0, 1):
+        if obs:
+            nfc = fc.copy()
+            ntc = tc + 1
+            ovf = tc == 0xFF
+            nfc = np.where(ovf, (fc + 1) >> 1, nfc)
+            ntc = np.where(ovf, 129, ntc)
+        else:
+            nfc = fc + 1
+            ntc = tc.copy()
+            ovf = fc == 0xFF
+            ntc = np.where(ovf, (tc + 1) >> 1, ntc)
+            nfc = np.where(ovf, 129, nfc)
+        nprob = ((nfc << 8) // np.maximum(nfc + ntc, 1)) | 1
+        out[:, :, obs, 0] = nfc.astype(np.uint8)
+        out[:, :, obs, 1] = ntc.astype(np.uint8)
+        out[:, :, obs, 2] = nprob.astype(np.uint8)
+    return out
+
+
+def next_state_lut_adv() -> np.ndarray:
+    global _next_state_adv
+    if _next_state_adv is None:
+        _next_state_adv = _build_next_state_adv()
+    return _next_state_adv

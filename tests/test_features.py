@@ -106,3 +106,30 @@ def test_billing_accounting(ref_images):
     assert sum(bill.values()) == len(idx)
     assert bill["NZ_7x7"] == 6 * sum(
         p.shape[0] * p.shape[1] for p in dec.planes)
+
+
+def test_ans_v3_roundtrip(ref_images):
+    """rANS entropy backend (format v3, SURVEY.md section 2.4)."""
+    data = open(os.path.join(ref_images, "colorswap.jpg"), "rb").read()
+    lep = compress(data, version=3)
+    assert lep[2] == 3
+    assert decompress(lep) == data
+
+
+def test_ans_coder_unit():
+    """rANS bool coding roundtrip (reference test_invariants.cc:346)."""
+    import random
+    from lepton_tpu.coder.ans import ANSReader, ANSWriter, adv_update_branch
+    rng = random.Random(3)
+    bits = [rng.randrange(2) for _ in range(4001)]
+    state = (1, 1, 128)
+    w = ANSWriter()
+    for b in bits:
+        w.put_bit(b, state[2])
+        state = adv_update_branch(state[0], state[1], bool(b))
+    data = w.finish()
+    r = ANSReader(data)
+    state = (1, 1, 128)
+    for b in bits:
+        assert r.get_bit(state[2]) == b
+        state = adv_update_branch(state[0], state[1], True if b else False)
