@@ -27,6 +27,8 @@ CORPUS = [
     "grayscale.jpg", "trailingrst.jpg", "trailingrst2.jpg", "iphonecrop.jpg",
     "androidcropoptions.jpg", "iphone.jpg", "iphonecity.jpg", "slrhills.jpg",
     "slrindoor.jpg", "singlerowtrunc.jpg", "truncatedzerorun.jpg",
+    "iphoneprogressive.jpg", "iphoneprogressive2.jpg",
+    "androidprogressive.jpg",
 ]
 IMAGES_DIR = "/root/reference/images"
 
@@ -50,7 +52,7 @@ def bench_host():
         data = open(path, "rb").read()
         try:
             t0 = time.perf_counter()
-            lep = compress(data)
+            lep = compress(data, allow_progressive=True)
             t1 = time.perf_counter()
             out = decompress(lep)
             t2 = time.perf_counter()

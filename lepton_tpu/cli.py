@@ -105,9 +105,14 @@ def main(argv=None) -> int:
             opts["max_threads"] = int(arg.split("=", 1)[1])
         elif arg.startswith("-minencodethreads="):
             opts["min_threads"] = int(arg.split("=", 1)[1])
-        elif arg.startswith("-memory=") or arg.startswith("-threadmemory=") \
-                or arg.startswith("-timebound="):
-            pass  # memory limits are advisory in this runtime
+        elif arg.startswith("-memory="):
+            from .util.sandbox import apply_memory_limit
+            apply_memory_limit(_parse_size(arg.split("=", 1)[1]))
+        elif arg.startswith("-threadmemory=") or arg.startswith("-timebound="):
+            pass  # per-thread arenas are per-call; timebound handled by serve
+        elif arg == "-jailed":
+            from .util.sandbox import no_new_privs
+            no_new_privs()
         elif arg.startswith("-recodememory="):
             opts["recodememory"] = _parse_size(arg.split("=", 1)[1])
         elif arg.startswith("-trunc="):

@@ -76,3 +76,18 @@ class Model:
         for i, s in zip(idx, strides):
             base += i * s
         return base
+
+
+def save_model(model: Model, path: str) -> None:
+    """Raw model dump (serialize_model, model.cc:205: struct bytes ==
+    this arena layout)."""
+    with open(path, "wb") as f:
+        f.write(bytes(model.raw))
+
+
+def load_model(model: Model, path: str) -> None:
+    """load_model (model.cc:407): read raw branch bytes back."""
+    data = open(path, "rb").read()
+    if len(data) != len(model.raw):
+        raise ValueError("model size mismatch")
+    model.raw[:] = data

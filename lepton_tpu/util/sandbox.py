@@ -1,0 +1,42 @@
+"""Process hardening: memory envelope + privilege limits.
+
+The reference runs under a strict seccomp jail with a preallocated arena so
+workers can only read/write/exit (Seccomp.cc:67-138, MemMgrAllocator).  A
+Python/JAX runtime cannot survive strict-mode seccomp (the interpreter and
+XLA allocate continuously), so the equivalent operational guarantees here
+are:
+
+  - a hard address-space ceiling (the -memory= contract,
+    jpgcoder.cc:829-894): the process is killed by the kernel rather than
+    exceeding its declared footprint
+  - PR_SET_NO_NEW_PRIVS: no privilege escalation past this point
+  - the serving layer forks per connection, so a misbehaving request only
+    takes down its own worker (socket_serve.cc fork isolation)
+
+A BPF-level syscall filter for the C hot loops is a planned follow-up once
+the native path owns whole-file transcodes end-to-end.
+"""
+from __future__ import annotations
+
+import ctypes
+import resource
+
+PR_SET_NO_NEW_PRIVS = 38
+
+
+def apply_memory_limit(max_bytes: int) -> None:
+    """Hard RLIMIT_AS ceiling (the -memory= / -threadmemory= contract)."""
+    soft, hard = resource.getrlimit(resource.RLIMIT_AS)
+    limit = max_bytes
+    if hard != resource.RLIM_INFINITY:
+        limit = min(limit, hard)
+    resource.setrlimit(resource.RLIMIT_AS, (limit, hard))
+
+
+def no_new_privs() -> bool:
+    """prctl(PR_SET_NO_NEW_PRIVS, 1): irreversible privilege ceiling."""
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        return libc.prctl(PR_SET_NO_NEW_PRIVS, 1, 0, 0, 0) == 0
+    except Exception:
+        return False
