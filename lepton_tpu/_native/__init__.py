@@ -70,6 +70,22 @@ def available() -> bool:
         return False
 
 
+
+
+_tls = threading.local()
+
+
+def _thread_arena() -> "np.ndarray":
+    """Reused per-thread model arena (the C codec re-initializes it to the
+    identity at every segment start, so reuse is safe)."""
+    arena = getattr(_tls, "arena", None)
+    if arena is None:
+        from ..model.tables import ARENA_SIZE
+        arena = np.empty(ARENA_SIZE * 3, dtype=np.uint8)
+        _tls.arena = arena
+    return arena
+
+
 class NativeImage:
     """Prepared ctypes arguments for one image's planes + color tables."""
 
@@ -102,8 +118,7 @@ class NativeImage:
         self.arena = np.empty(ARENA_SIZE * 3, dtype=np.uint8)
 
     def encode_segment(self, min_y: int, max_y: int, is_last: bool) -> bytes:
-        from ..model.tables import ARENA_SIZE
-        arena = np.empty(ARENA_SIZE * 3, dtype=np.uint8)  # per-call: thread safe
+        arena = _thread_arena()
         cap = sum(p.nbytes for p in self.planes) + (1 << 20)
         out = np.empty(cap, dtype=np.uint8)
         n = self.lib.lepton_encode_segment(
@@ -118,8 +133,7 @@ class NativeImage:
 
     def decode_segment(self, data: bytes, min_y: int, max_y: int,
                        is_last: bool) -> None:
-        from ..model.tables import ARENA_SIZE
-        arena = np.empty(ARENA_SIZE * 3, dtype=np.uint8)  # per-call: thread safe
+        arena = _thread_arena()
         buf = np.frombuffer(data, dtype=np.uint8)
         err = self.lib.lepton_decode_segment(
             self.plane_ptrs, self.widths, self.heights, self.comp_sizes,
@@ -284,3 +298,78 @@ def native_symbolize_segment(img: "NativeImage", min_y: int, max_y: int,
         if n <= cap:
             return idx[:n].copy(), bit[:n].copy()
         cap = int(n) + 1024
+
+
+class _HScanPrg(ctypes.Structure):
+    _fields_ = [("cs_from", ctypes.c_int), ("cs_to", ctypes.c_int),
+                ("cs_sah", ctypes.c_int), ("cs_sal", ctypes.c_int)]
+
+
+def _prg_of(info) -> "_HScanPrg":
+    sc = info.scan
+    return _HScanPrg(sc.cs_from, sc.cs_to, sc.cs_sah, sc.cs_sal)
+
+
+def native_decode_progressive_scan(info, huffdata: bytes, bitpos: int,
+                                   offsets, planes, padbit: int, state,
+                                   max_dpos, tables=None):
+    """One progressive scan in C.  state: int32[5] = [mcu, dc0..3] (io).
+    Returns (status, new_bitpos, handoff_records, padbit)."""
+    lib = get_lib()
+    sc = build_hscan(info)
+    prg = _prg_of(info)
+    if tables is None:
+        tables = build_huff_tables(info)
+    n = len(planes)
+    plane_ptrs = (ctypes.POINTER(ctypes.c_int16) * n)(*[
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)) for p in planes])
+    hpos = np.ascontiguousarray([o[0] for o in offsets], dtype=np.uint32)
+    fpos = np.ascontiguousarray([o[1] for o in offsets], dtype=np.uint32)
+    max_handoffs = info.cmpnfo[0].bcv + 16
+    handoffs = np.zeros((max_handoffs, 8), dtype=np.int32)
+    nhandoffs = ctypes.c_int32(0)
+    padbit_c = ctypes.c_int32(padbit)
+    bitpos_c = ctypes.c_int64(bitpos)
+    md = np.asarray(max_dpos, dtype=np.int32)
+    hbuf = np.frombuffer(huffdata, dtype=np.uint8)
+    status = lib.lepton_decode_progressive_scan(
+        hbuf.ctypes.data_as(ctypes.c_void_p), len(huffdata),
+        ctypes.byref(bitpos_c), ctypes.byref(sc), ctypes.byref(prg), tables,
+        plane_ptrs,
+        hpos.ctypes.data_as(ctypes.c_void_p),
+        fpos.ctypes.data_as(ctypes.c_void_p), len(offsets),
+        handoffs.ctypes.data_as(ctypes.c_void_p), ctypes.byref(nhandoffs),
+        ctypes.byref(padbit_c), md.ctypes.data_as(ctypes.c_void_p),
+        state.ctypes.data_as(ctypes.c_void_p))
+    for i in range(4):
+        max_dpos[i] = int(md[i])
+    return status, bitpos_c.value, handoffs[:nhandoffs.value], padbit_c.value
+
+
+def native_recode_any_scan(info, planes, jpegtype: int, padbit: int,
+                           out_base: int, tables=None, sc=None):
+    """Re-emit one scan; returns (scan_bytes, rstp_positions)."""
+    lib = get_lib()
+    lib.lepton_recode_any_scan.restype = ctypes.c_int64
+    if sc is None:
+        sc = build_hscan(info)
+    prg = _prg_of(info)
+    if tables is None:
+        tables = build_huff_tables(info)
+    n = len(planes)
+    plane_ptrs = (ctypes.POINTER(ctypes.c_int16) * n)(*[
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)) for p in planes])
+    cap = sum(p.nbytes for p in planes) + (1 << 20)
+    out = np.empty(cap, dtype=np.uint8)
+    rstp_cap = ctypes.c_int32(1 << 20)
+    rstp = np.zeros(1 << 20, dtype=np.uint32)
+    n_rstp = ctypes.c_int32(0)
+    nbytes = lib.lepton_recode_any_scan(
+        ctypes.byref(sc), ctypes.byref(prg), jpegtype, tables, plane_ptrs,
+        padbit, out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
+        ctypes.c_int64(out_base),
+        rstp.ctypes.data_as(ctypes.c_void_p), ctypes.byref(rstp_cap),
+        ctypes.byref(n_rstp))
+    if nbytes < 0:
+        raise RuntimeError("native progressive recode failed")
+    return out[:nbytes].tobytes(), rstp[:n_rstp.value].tolist()

@@ -1546,3 +1546,533 @@ EXPORT int64_t lepton_symbolize_segment(
     if (err) return -1;
     return c.sym_n;
 }
+
+/* ================================================================== */
+/* Progressive JPEG scans: decode + re-emit                            */
+/* (ports of jpgcoder.cc progressive paths; semantics mirror the       */
+/*  proven Python implementation in jpeg/progressive.py)               */
+/* ================================================================== */
+
+typedef struct {
+    int cs_from, cs_to, cs_sah, cs_sal;
+} HScanPrg;
+
+static inline uint32_t max_eobrun_of(const HuffTable *act) {
+    /* hc->max_eobrun (jpgcoder.cc:5540-5547) */
+    for (int i = 14; i >= 0; --i)
+        if (act->clen[(i << 4) & 255] > 0)
+            return (2u << i) - 1;
+    return 0;
+}
+
+static int h_skip_eobrun(const HScan *sc, int cmp, int *dpos, int *rstw,
+                         uint32_t *eobrun) {
+    /* jpgcoder.cc:5462-5505 */
+    if (*eobrun == 0) return 0;
+    const HComp *ci = &sc->comps[cmp];
+    if (sc->rsti > 0) {
+        if ((int)*eobrun > *rstw) return -1;
+        *rstw -= *eobrun;
+    }
+    if (ci->bch != ci->nch)
+        *dpos += (((*dpos % ci->bch) + *eobrun) / ci->nch)
+            * (ci->bch - ci->nch);
+    if (ci->bcv != ci->ncv && (*dpos / ci->bch) >= ci->ncv)
+        *dpos += (ci->bcv - ci->ncv) * ci->bch;
+    *dpos += *eobrun;
+    *eobrun = 0;
+    if (*dpos == ci->bc) return 2;
+    if (*dpos > ci->bc) return -1;
+    if (sc->rsti > 0 && *rstw == 0) return 1;
+    return 0;
+}
+
+static inline int16_t *block_at(int16_t **planes, const HScan *sc, int cmp,
+                                int dpos) {
+    const HComp *ci = &sc->comps[cmp];
+    return planes[cmp] + (size_t)dpos * 64;
+}
+
+/* Decode one progressive scan (all restart intervals).
+ * state_io: [mcu, lastdc0..3].  Returns 2 on success, -1 on error. */
+EXPORT int lepton_decode_progressive_scan(
+    const uint8_t *huffdata, int64_t nbytes, int64_t *bitpos_io,
+    const HScan *sc, const HScanPrg *prg, const HuffTable *tables,
+    int16_t **planes,
+    const uint32_t *offs_h, const uint32_t *offs_f, int noff,
+    int32_t *handoffs_out, int32_t *nh_io, int32_t *padbit_io,
+    int32_t *max_dpos_io, int32_t *state_io) {
+    HBitReader r;
+    hbr_init(&r, huffdata, nbytes);
+    r.pos = *bitpos_io;
+    if (r.pos >= r.nbits) r.eof = 1;
+    int lastdc[4];
+    for (int i = 0; i < 4; ++i) lastdc[i] = state_io[1 + i];
+    int padbit = *padbit_io;
+    int nh = *nh_io;
+    int mcu = state_io[0];
+    int cmp = sc->cs_cmp[0], csc = 0, sub = 0, dpos = 0;
+    mcu = 0;
+    int do_handoff = 1;
+    int luma_mul = sc->comps[0].bcv / sc->mcuv;
+    int16_t block[64];
+    uint32_t eobrun = 0;
+    int sta = 0;
+
+    while (1) {
+        lastdc[0] = lastdc[1] = lastdc[2] = lastdc[3] = 0;
+        sta = 0;
+        eobrun = 0;
+        int rstw = sc->rsti;
+
+        if (sc->cs_cmpc > 1) {
+            if (prg->cs_sah == 0) {
+                while (sta == 0) {   /* interleaved DC first stage */
+                    if (do_handoff) {
+                        if (nh < MAX_HANDOFFS)
+                            crystallize(&r, offs_h, offs_f, noff,
+                                        mcu / sc->mcuh, lastdc, luma_mul,
+                                        handoffs_out + (size_t)nh * HANDOFF_I32);
+                        ++nh;
+                        do_handoff = 0;
+                    }
+                    if (!r.eof && dpos > max_dpos_io[cmp])
+                        max_dpos_io[cmp] = dpos;
+                    int hc = huff_decode(&r, &tables[sc->comps[cmp].huffdc]);
+                    if (hc < 0) { sta = -1; break; }
+                    uint32_t n = hbr_read(&r, hc);
+                    int16_t dc = (int16_t)(devli(hc, n) + lastdc[cmp]);
+                    lastdc[cmp] = dc;
+                    block_at(planes, sc, cmp, dpos)[0] =
+                        (int16_t)((uint16_t)dc << prg->cs_sal);
+                    int old_mcu = mcu;
+                    sta = h_next_mcupos(sc, &mcu, &cmp, &csc, &sub, &dpos,
+                                        &rstw);
+                    if (mcu % sc->mcuh == 0 && old_mcu != mcu) do_handoff = 1;
+                    if (r.eof) { sta = 2; break; }
+                }
+            } else {
+                while (sta == 0) {   /* interleaved DC refinement */
+                    if (!r.eof && dpos > max_dpos_io[cmp])
+                        max_dpos_io[cmp] = dpos;
+                    uint32_t bitv = hbr_read(&r, 1);
+                    int16_t *p = block_at(planes, sc, cmp, dpos);
+                    p[0] = (int16_t)(p[0] + ((uint16_t)bitv << prg->cs_sal));
+                    sta = h_next_mcupos(sc, &mcu, &cmp, &csc, &sub, &dpos,
+                                        &rstw);
+                    if (r.eof) { sta = 2; break; }
+                }
+            }
+        } else {
+            const HComp *ci = &sc->comps[cmp];
+            if (prg->cs_to == 0) {
+                if (prg->cs_sah == 0) {
+                    while (sta == 0) {   /* non-interleaved DC first stage */
+                        if (do_handoff) {
+                            if (nh < MAX_HANDOFFS)
+                                crystallize(&r, offs_h, offs_f, noff,
+                                            dpos / ci->bch, lastdc, luma_mul,
+                                            handoffs_out + (size_t)nh * HANDOFF_I32);
+                            ++nh;
+                            do_handoff = 0;
+                        }
+                        if (!r.eof && dpos > max_dpos_io[cmp])
+                            max_dpos_io[cmp] = dpos;
+                        int hc = huff_decode(&r, &tables[ci->huffdc]);
+                        if (hc < 0) { sta = -1; break; }
+                        uint32_t n = hbr_read(&r, hc);
+                        int16_t dc = (int16_t)(devli(hc, n) + lastdc[cmp]);
+                        lastdc[cmp] = dc;
+                        block_at(planes, sc, cmp, dpos)[0] =
+                            (int16_t)((uint16_t)dc << prg->cs_sal);
+                        if (sta != -1)
+                            sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                        if (cmp == 0 && dpos % ci->bch == 0) do_handoff = 1;
+                        if (r.eof) { sta = 2; break; }
+                    }
+                } else {
+                    while (sta == 0) {   /* non-interleaved DC refinement */
+                        if (!r.eof && dpos > max_dpos_io[cmp])
+                            max_dpos_io[cmp] = dpos;
+                        uint32_t bitv = hbr_read(&r, 1);
+                        int16_t *p = block_at(planes, sc, cmp, dpos);
+                        p[0] = (int16_t)(p[0] +
+                                         ((uint16_t)bitv << prg->cs_sal));
+                        sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                        if (r.eof) { sta = 2; break; }
+                    }
+                }
+            } else if (prg->cs_sah == 0) {
+                /* non-interleaved AC first stage */
+                const HuffTable *act = &tables[4 + ci->huffac];
+                while (sta == 0) {
+                    if (!r.eof && dpos > max_dpos_io[cmp])
+                        max_dpos_io[cmp] = dpos;
+                    int16_t *p = block_at(planes, sc, cmp, dpos);
+                    if (eobrun > 0) {
+                        --eobrun;
+                        for (int b = prg->cs_from; b <= prg->cs_to; ++b)
+                            p[ZIGZAG_TO_RASTER[b]] = 0;
+                    } else {
+                        int bpos = prg->cs_from;
+                        int bad = 0;
+                        memset(block, 0, sizeof(block));
+                        while (bpos <= prg->cs_to) {
+                            int hc = huff_decode(&r, act);
+                            if (hc < 0) { bad = 1; break; }
+                            int l = hc >> 4, rr = hc & 15;
+                            if (l == 15 || rr > 0) {
+                                uint32_t n = hbr_read(&r, rr);
+                                if (l + bpos > prg->cs_to) { bad = 1; break; }
+                                bpos += l;
+                                block[bpos++] = (int16_t)devli(rr, n);
+                            } else {
+                                uint32_t n = hbr_read(&r, l);
+                                eobrun = (n + (1u << l)) - 1;
+                                break;
+                            }
+                        }
+                        if (bad) { sta = -1; break; }
+                        for (int b = prg->cs_from; b < bpos; ++b)
+                            p[ZIGZAG_TO_RASTER[b]] =
+                                (int16_t)((uint16_t)block[b] << prg->cs_sal);
+                        sta = h_skip_eobrun(sc, cmp, &dpos, &rstw, &eobrun);
+                    }
+                    if (sta == 0)
+                        sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                    if (r.eof) { sta = 2; break; }
+                }
+            } else {
+                /* non-interleaved AC refinement */
+                const HuffTable *act = &tables[4 + ci->huffac];
+                while (sta == 0) {
+                    int16_t *p = block_at(planes, sc, cmp, dpos);
+                    for (int b = prg->cs_from; b <= prg->cs_to; ++b)
+                        block[b] = p[ZIGZAG_TO_RASTER[b]];
+                    if (!r.eof && dpos > max_dpos_io[cmp])
+                        max_dpos_io[cmp] = dpos;
+                    int bad = 0;
+                    if (eobrun == 0) {
+                        int bpos = prg->cs_from;
+                        while (bpos <= prg->cs_to) {
+                            int hc = huff_decode(&r, act);
+                            if (hc < 0) { bad = 1; break; }
+                            int l = hc >> 4, rr = hc & 15;
+                            if (l == 15 || rr > 0) {
+                                int z = l, v;
+                                if (rr == 0) v = 0;
+                                else if (rr == 1)
+                                    v = hbr_read(&r, 1) ? 1 : -1;
+                                else { bad = 1; break; }
+                                while (1) {
+                                    if (block[bpos] == 0) {
+                                        if (z > 0) --z;
+                                        else {
+                                            block[bpos++] = (int16_t)v;
+                                            break;
+                                        }
+                                    } else {
+                                        uint32_t n = hbr_read(&r, 1);
+                                        block[bpos] = (int16_t)(
+                                            block[bpos] > 0 ? (int)n : -(int)n);
+                                    }
+                                    if (bpos >= prg->cs_to) { bad = 1; break; }
+                                    ++bpos;
+                                }
+                                if (bad) break;
+                            } else {
+                                uint32_t n = hbr_read(&r, l);
+                                eobrun = n + (1u << l);
+                                break;
+                            }
+                        }
+                        if (!bad && eobrun > 0) {
+                            for (int b = bpos; b <= prg->cs_to; ++b) {
+                                if (block[b] != 0) {
+                                    uint32_t n = hbr_read(&r, 1);
+                                    block[b] = (int16_t)(
+                                        block[b] > 0 ? (int)n : -(int)n);
+                                }
+                            }
+                            --eobrun;
+                        }
+                    } else {
+                        for (int b = prg->cs_from; b <= prg->cs_to; ++b) {
+                            if (block[b] != 0) {
+                                uint32_t n = hbr_read(&r, 1);
+                                block[b] = (int16_t)(
+                                    block[b] > 0 ? (int)n : -(int)n);
+                            }
+                        }
+                        --eobrun;
+                    }
+                    if (bad) { sta = -1; break; }
+                    for (int b = prg->cs_from; b <= prg->cs_to; ++b)
+                        p[ZIGZAG_TO_RASTER[b]] = (int16_t)(
+                            p[ZIGZAG_TO_RASTER[b]] +
+                            (int16_t)((uint16_t)block[b] << prg->cs_sal));
+                    sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                    if (r.eof) { sta = 2; break; }
+                }
+            }
+        }
+
+        if (padbit != -1) {
+            if (padbit != hbr_unpad(&r, padbit)) padbit = 1;
+        } else {
+            padbit = hbr_unpad(&r, padbit);
+        }
+        if (sta == -1) return -1;
+        if (sta == 2) break;
+    }
+    state_io[0] = mcu;
+    for (int i = 0; i < 4; ++i) state_io[1 + i] = lastdc[i];
+    *padbit_io = padbit;
+    *bitpos_io = r.pos;
+    *nh_io = nh;
+    return 2;
+}
+
+/* Re-emit one scan (sequential or progressive) into `out`.
+ * rstp positions are absolute byte offsets within the full regenerated
+ * huffdata (out_base is the byte count before this scan).
+ * Returns bytes appended, or -1 on error. */
+EXPORT int64_t lepton_recode_any_scan(
+    const HScan *sc, const HScanPrg *prg, int jpegtype,
+    const HuffTable *tables, int16_t **planes, int padbit,
+    uint8_t *out, int64_t out_cap, int64_t out_base,
+    uint32_t *rstp_out, int32_t *rstp_cap, int32_t *n_rstp_io) {
+    size_t cap = (size_t)out_cap;
+    HBitWriter w = { out, 0, cap, 0, 0 };
+    int lastdc[4];
+    int16_t block[64];
+    uint8_t crbits[8192];
+    int n_crbits = 0;
+    int fill = padbit == -1 ? 0 : padbit;
+    int cmp = sc->cs_cmp[0], csc = 0, sub = 0, dpos = 0, mcu = 0;
+    uint32_t eobrun = 0;
+    int sta = 0;
+    int n_rstp = *n_rstp_io;
+
+    #define FLUSH_CRBITS() do { \
+        for (int _i = 0; _i < n_crbits; ++_i) hbw_write(&w, crbits[_i], 1); \
+        n_crbits = 0; } while (0)
+
+    #define ENCODE_EOBRUN(act) do { \
+        if (eobrun > 0) { \
+            while (eobrun > (uint32_t)(act)->valid * 0 + max_eobrun_of(act)) { \
+                hbw_write(&w, (act)->cval[0xE0], (act)->clen[0xE0]); \
+                hbw_write(&w, 32767 - (1 << 14), 14); \
+                eobrun -= max_eobrun_of(act); \
+            } \
+            int _s = bit_length_u(eobrun); \
+            if (_s) --_s; \
+            hbw_write(&w, (act)->cval[_s << 4], (act)->clen[_s << 4]); \
+            hbw_write(&w, eobrun - (1u << _s), _s); \
+            eobrun = 0; \
+        } } while (0)
+
+    while (1) {
+        lastdc[0] = lastdc[1] = lastdc[2] = lastdc[3] = 0;
+        sta = 0;
+        eobrun = 0;
+        int rstw = sc->rsti;
+
+        if (sc->cs_cmpc > 1) {
+            if (jpegtype == 1) {
+                while (sta == 0) {
+                    const HComp *ci = &sc->comps[cmp];
+                    const int16_t *raster = block_at(planes, sc, cmp, dpos);
+                    for (int z = 0; z < 64; ++z)
+                        block[z] = raster[ZIGZAG_TO_RASTER[z]];
+                    int16_t dc = block[0];
+                    block[0] = (int16_t)(block[0] - lastdc[cmp]);
+                    lastdc[cmp] = dc;
+                    encode_block_seq_c(&w, &tables[ci->huffdc],
+                                       &tables[4 + ci->huffac], block);
+                    sta = h_next_mcupos(sc, &mcu, &cmp, &csc, &sub, &dpos,
+                                        &rstw);
+                }
+            } else if (prg->cs_sah == 0) {
+                while (sta == 0) {
+                    const HComp *ci = &sc->comps[cmp];
+                    int tmp = block_at(planes, sc, cmp, dpos)[0]
+                        >> prg->cs_sal;
+                    int diff = tmp - lastdc[cmp];
+                    lastdc[cmp] = tmp;
+                    unsigned a = (unsigned)(diff > 0 ? diff : -diff);
+                    int s = bit_length_u(a);
+                    const HuffTable *dct = &tables[ci->huffdc];
+                    hbw_write(&w, dct->cval[s], dct->clen[s]);
+                    hbw_write(&w, (uint32_t)(diff > 0 ? diff
+                                             : diff - 1 + (1 << s)), s);
+                    sta = h_next_mcupos(sc, &mcu, &cmp, &csc, &sub, &dpos,
+                                        &rstw);
+                }
+            } else {
+                while (sta == 0) {
+                    int bitv = (block_at(planes, sc, cmp, dpos)[0]
+                                >> prg->cs_sal) & 1;
+                    hbw_write(&w, (uint32_t)bitv, 1);
+                    sta = h_next_mcupos(sc, &mcu, &cmp, &csc, &sub, &dpos,
+                                        &rstw);
+                }
+            }
+        } else {
+            const HComp *ci = &sc->comps[cmp];
+            if (jpegtype == 1) {
+                while (sta == 0) {
+                    const int16_t *raster = block_at(planes, sc, cmp, dpos);
+                    for (int z = 0; z < 64; ++z)
+                        block[z] = raster[ZIGZAG_TO_RASTER[z]];
+                    int16_t dc = block[0];
+                    block[0] = (int16_t)(block[0] - lastdc[cmp]);
+                    lastdc[cmp] = dc;
+                    encode_block_seq_c(&w, &tables[ci->huffdc],
+                                       &tables[4 + ci->huffac], block);
+                    sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                }
+            } else if (prg->cs_to == 0) {
+                if (prg->cs_sah == 0) {
+                    while (sta == 0) {
+                        int tmp = block_at(planes, sc, cmp, dpos)[0]
+                            >> prg->cs_sal;
+                        int diff = tmp - lastdc[cmp];
+                        lastdc[cmp] = tmp;
+                        unsigned a = (unsigned)(diff > 0 ? diff : -diff);
+                        int s = bit_length_u(a);
+                        const HuffTable *dct = &tables[ci->huffdc];
+                        hbw_write(&w, dct->cval[s], dct->clen[s]);
+                        hbw_write(&w, (uint32_t)(diff > 0 ? diff
+                                                 : diff - 1 + (1 << s)), s);
+                        sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                    }
+                } else {
+                    while (sta == 0) {
+                        int bitv = (block_at(planes, sc, cmp, dpos)[0]
+                                    >> prg->cs_sal) & 1;
+                        hbw_write(&w, (uint32_t)bitv, 1);
+                        sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                    }
+                }
+            } else {
+                const HuffTable *act = &tables[4 + ci->huffac];
+                if (prg->cs_sah == 0) {
+                    while (sta == 0) {
+                        const int16_t *raster =
+                            block_at(planes, sc, cmp, dpos);
+                        /* FDIV2 toward zero */
+                        int z = 0;
+                        for (int b = prg->cs_from; b <= prg->cs_to; ++b) {
+                            int v = raster[ZIGZAG_TO_RASTER[b]];
+                            block[b] = (int16_t)(v < 0
+                                ? -((-v) >> prg->cs_sal)
+                                : v >> prg->cs_sal);
+                        }
+                        /* encode_ac_prg_fs (jpgcoder.cc:5077-5131) */
+                        z = 0;
+                        for (int b = prg->cs_from; b <= prg->cs_to; ++b) {
+                            int tmp = block[b];
+                            if (tmp != 0) {
+                                ENCODE_EOBRUN(act);
+                                while (z >= 16) {
+                                    hbw_write(&w, act->cval[0xF0],
+                                              act->clen[0xF0]);
+                                    z -= 16;
+                                }
+                                unsigned a = (unsigned)(tmp > 0 ? tmp : -tmp);
+                                int s = bit_length_u(a);
+                                int hc = (z << 4) + s;
+                                hbw_write(&w, act->cval[hc], act->clen[hc]);
+                                hbw_write(&w, (uint32_t)(tmp > 0 ? tmp
+                                          : tmp - 1 + (1 << s)), s);
+                                z = 0;
+                            } else ++z;
+                        }
+                        if (z > 0) {
+                            ++eobrun;
+                            if (eobrun == max_eobrun_of(act))
+                                ENCODE_EOBRUN(act);
+                        }
+                        sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                    }
+                    ENCODE_EOBRUN(act);
+                } else {
+                    while (sta == 0) {
+                        const int16_t *raster =
+                            block_at(planes, sc, cmp, dpos);
+                        for (int b = prg->cs_from; b <= prg->cs_to; ++b) {
+                            int v = raster[ZIGZAG_TO_RASTER[b]];
+                            block[b] = (int16_t)(v < 0
+                                ? -((-v) >> prg->cs_sal)
+                                : v >> prg->cs_sal);
+                        }
+                        /* encode_ac_prg_sa (jpgcoder.cc:5237-5330) */
+                        int eob = prg->cs_from;
+                        for (int b = prg->cs_to; b >= prg->cs_from; --b) {
+                            if (block[b] == 1 || block[b] == -1) {
+                                eob = b + 1;
+                                break;
+                            }
+                        }
+                        if (eob > prg->cs_from && eobrun > 0) {
+                            ENCODE_EOBRUN(act);
+                            FLUSH_CRBITS();
+                        }
+                        int z = 0;
+                        int b = prg->cs_from;
+                        for (; b < eob; ++b) {
+                            int tmp = block[b];
+                            if (tmp == 0) {
+                                if (++z == 16) {
+                                    hbw_write(&w, act->cval[0xF0],
+                                              act->clen[0xF0]);
+                                    FLUSH_CRBITS();
+                                    z = 0;
+                                }
+                            } else if (tmp == 1 || tmp == -1) {
+                                int s = 1;
+                                int hc = (z << 4) + s;
+                                hbw_write(&w, act->cval[hc], act->clen[hc]);
+                                hbw_write(&w, (uint32_t)(tmp > 0 ? tmp
+                                          : tmp - 1 + (1 << s)), s);
+                                FLUSH_CRBITS();
+                                z = 0;
+                            } else {
+                                if (n_crbits < (int)sizeof(crbits))
+                                    crbits[n_crbits++] =
+                                        (uint8_t)(block[b] & 1);
+                            }
+                        }
+                        for (; b <= prg->cs_to; ++b) {
+                            if (block[b] != 0 &&
+                                n_crbits < (int)sizeof(crbits))
+                                crbits[n_crbits++] = (uint8_t)(block[b] & 1);
+                        }
+                        if (eob <= prg->cs_to) {
+                            ++eobrun;
+                            if (eobrun == max_eobrun_of(act)) {
+                                ENCODE_EOBRUN(act);
+                                FLUSH_CRBITS();
+                            }
+                        }
+                        sta = h_next_mcuposn(sc, cmp, &dpos, &rstw);
+                    }
+                    ENCODE_EOBRUN(act);
+                    FLUSH_CRBITS();
+                }
+            }
+        }
+
+        hbw_pad(&w, fill);
+        if (sta == -1) return -1;
+        if (sta == 2) break;
+        if (sta == 1 && sc->rsti > 0) {
+            if (n_rstp < *rstp_cap)
+                rstp_out[n_rstp] = (uint32_t)(out_base + w.pos - 1);
+            ++n_rstp;
+        }
+    }
+    *n_rstp_io = n_rstp;
+    return (int64_t)w.pos;
+}

@@ -132,6 +132,32 @@ def decode_scans(parsed: ParsedJpeg, info: ImageInfo,
 
         if info.jpegtype != 1:
             # progressive scan variants (handoffs crystallize in DC scans)
+            if use_native is None:
+                use_native = _native_available()
+            if use_native:
+                from .. import _native
+                state = np.asarray([mcu] + list(lastdc[:4]), dtype=np.int32)
+                status, newpos, hrecs, padbit = \
+                    _native.native_decode_progressive_scan(
+                        info, parsed.huffdata, reader.pos, offsets,
+                        out.planes, padbit, state, out.max_dpos)
+                if status < 0:
+                    raise JpegDecodeError(
+                        f"decode error in progressive scan {scnc}")
+                reader.pos = newpos
+                reader.eof = newpos >= reader.nbits
+                for rec in hrecs:
+                    handoffs.append(ThreadHandoff(
+                        luma_y_start=int(rec[0]),
+                        luma_y_end=int(rec[0]) + luma_mul,
+                        segment_size=int(rec[1]) & 0xFFFFFFFF,
+                        overhang_byte=int(rec[2]),
+                        num_overhang_bits=int(rec[3]),
+                        last_dc=[int(v) for v in rec[4:8]]))
+                mcu = int(state[0])
+                lastdc = [int(v) for v in state[1:5]]
+                scnc += 1
+                continue
             st = dict(mcu=mcu, lastdc=lastdc, padbit=padbit)
             _decode_progressive_scan(reader, info, out, st, offsets,
                                      handoffs, luma_mul, scnc)

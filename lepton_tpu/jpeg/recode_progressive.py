@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
+
 from ..constants import ZIGZAG_TO_RASTER
 from .bitio import BitWriter
 from .huffman import envli
@@ -141,7 +143,16 @@ def _encode_ac_prg_sa(huffw, storw, actbl, block, eobrun: int,
     return eob, eobrun
 
 
-def regenerate_scans(hdrdata: bytes, planes, info: ImageInfo, padbit: int):
+def _native_available() -> bool:
+    try:
+        from .. import _native
+        return _native.available()
+    except Exception:
+        return False
+
+
+def regenerate_scans(hdrdata: bytes, planes, info: ImageInfo, padbit: int,
+                     use_native=None):
     """Phase 1 of recode_jpeg: rebuild all scans' entropy data.
 
     Returns (huffdata bytes, scnp list, rstp list, scnc).
@@ -187,6 +198,21 @@ def regenerate_scans(hdrdata: bytes, planes, info: ImageInfo, padbit: int):
             scnp.append(0)
         scnp[scnc] = pos()
         scnp[scnc + 1] = 0
+
+        if use_native is None:
+            use_native = _native_available()
+        if use_native:
+            from .. import _native
+            planes_c = getattr(regenerate_scans, "_planes_cache", None)
+            scan_bytes, rstp_new = _native.native_recode_any_scan(
+                info, [np.ascontiguousarray(p) for p in planes],
+                info.jpegtype, padbit, pos())
+            assert huffw.bits == 0
+            huffw.chunks += scan_bytes
+            huffw.nbytes += len(scan_bytes)
+            rstp.extend(rstp_new)
+            scnc += 1
+            continue
 
         cmp = sc.cs_cmp[0]
         csc = 0
