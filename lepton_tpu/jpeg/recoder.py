@@ -288,6 +288,50 @@ def _recode_native(out: BoundedWriter, byte_position: int, hdrdata: bytes,
     tables = _native.build_huff_tables(info)
     luma_mul = info.cmpnfo[0].bcv // info.mcuv
 
+    any_legacy = any(th.is_legacy_mode() for th in handoffs)
+    if not any_legacy and len(handoffs) > 1:
+        # non-legacy handoffs carry each segment's full stitching state, so
+        # segments re-emit independently (the reference's parallel recode,
+        # recoder.cc:756-825) and concatenate in order
+        from ..api import _parallel_map
+
+        def run_seg(th):
+            seg_buf = np.zeros(bound + 65536, dtype=np.uint8)
+            p2, ob, nb, dc = _native.native_recode_rows(
+                info, planes_c, th.luma_y_start // luma_mul,
+                th.luma_y_end // luma_mul, th.overhang_byte,
+                th.num_overhang_bits, list(th.last_dc), padbit,
+                rst_cnt, rst_cnt_set, seg_buf, bound, 0,
+                tables=_native.build_huff_tables(info),
+                sc=_native.build_hscan(info))
+            return seg_buf[:p2], (ob, nb, dc)
+
+        outs = _parallel_map(run_seg, handoffs)
+        for i in range(len(handoffs) - 1):
+            ob, nb, dc = outs[i][1]
+            nxt = handoffs[i + 1]
+            if nb != nxt.num_overhang_bits or ob != nxt.overhang_byte or \
+                    dc[:3] != list(nxt.last_dc[:3]):
+                raise RecodeError(f"handoff mismatch at segment {i + 1}")
+        for seg_bytes, _ in outs:
+            n = min(len(seg_bytes), bound + 65536 - pos)
+            buf[pos:pos + n] = seg_bytes[:n]
+            pos += n
+        result = bytearray(buf[:min(pos, bound)].tobytes())
+        if rst_err:
+            cumulative = ((info.mcuh * info.mcuv - 1) // info.rsti
+                          if info.rsti else 0)
+            for i in range(rst_err[0]):
+                if len(result) < bound:
+                    result.append(0xFF)
+                if len(result) < bound:
+                    result.append(0xD0 + ((cumulative + i) & 7))
+        if len(result) < bound:
+            result += hdrdata[byte_position:
+                              byte_position + (bound - len(result))]
+        result += garbage[:max_file_size - len(result)]
+        return bytes(result)
+
     running_ob = handoffs[0].overhang_byte
     running_nb = (0 if handoffs[0].is_legacy_mode()
                   else handoffs[0].num_overhang_bits)
