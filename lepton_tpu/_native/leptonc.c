@@ -182,7 +182,11 @@ typedef struct {
     int64_t sym_n, sym_cap;
 } Coder;
 
-static inline void branch_update(uint8_t *b, int obs) {
+/* division-free update via a 256x256x2 transition LUT
+ * (the reference precomputes the same table, numeric.cc:4-17) */
+static uint32_t BRANCH_LUT[256 * 256 * 2];
+
+static void branch_update_slow(uint8_t *b, int obs) {
     /* branch.hh:82-100 record_obs_and_update */
     unsigned fc = b[0], tc = b[1];
     if (obs) {
@@ -206,6 +210,28 @@ static inline void branch_update(uint8_t *b, int obs) {
             b[2] = (uint8_t)(((fc + 1) << 8) / (fc + tc + 1));
         }
     }
+}
+
+__attribute__((constructor))
+static void init_branch_lut(void) {
+    for (int fc = 0; fc < 256; ++fc) {
+        for (int tc = 0; tc < 256; ++tc) {
+            for (int obs = 0; obs < 2; ++obs) {
+                uint8_t b[3] = {(uint8_t)fc, (uint8_t)tc, 0};
+                branch_update_slow(b, obs);
+                BRANCH_LUT[((fc << 8) | tc) * 2 + obs] =
+                    (uint32_t)b[0] | ((uint32_t)b[1] << 8)
+                    | ((uint32_t)b[2] << 16);
+            }
+        }
+    }
+}
+
+static inline void branch_update(uint8_t *b, int obs) {
+    uint32_t v = BRANCH_LUT[(((uint32_t)b[0] << 8) | b[1]) * 2 + obs];
+    b[0] = (uint8_t)v;
+    b[1] = (uint8_t)(v >> 8);
+    b[2] = (uint8_t)(v >> 16);
 }
 
 static inline void coder_put(Coder *c, int bit, int idx) {
