@@ -94,6 +94,8 @@ def main(argv=None) -> int:
             opts["version"] = max(opts["version"], 2)
         elif arg == "-ans":
             opts["version"] = 3
+        elif arg == "-fork":
+            opts["fork"] = True
         elif arg == "-lepcat":
             opts["lepcat"] = True
         elif arg == "overwrite":
@@ -138,6 +140,10 @@ def main(argv=None) -> int:
 
     if opts["singlethread"]:
         opts["max_threads"] = opts["min_threads"] = 1
+
+    if opts.get("fork"):
+        from .serve import fork_serve
+        return fork_serve(opts)
 
     if socket_path or listen_port or zlib_port:
         from .serve import serve

@@ -119,3 +119,68 @@ def serve(socket_path, listen_port, zlib_port, max_children, opts) -> int:
             children.add(pid)
             conn.close()
     return 0
+
+
+def fork_serve(opts) -> int:
+    """Named-FIFO pre-fork server (reference fork_serve.cc:78-132).
+
+    For each request: announce a fresh (input, output) FIFO pair on stdout,
+    fork a worker that transcodes input -> output, repeat.  Compatible with
+    the reference's forktester.py protocol.
+    """
+    import threading
+    import uuid
+
+    def _exit_on_stdin():
+        # Parent lifetime is tied to the controlling process: when the
+        # client closes our stdin, terminate (reference fork_serve.cc:40-55).
+        try:
+            while os.read(0, 4096):
+                pass
+        except OSError:
+            pass
+        os._exit(0)
+
+    threading.Thread(target=_exit_on_stdin, daemon=True).start()
+
+    while True:
+        base = f"/tmp/{uuid.uuid4()}"
+        in_path = base + ".in"
+        out_path = base + ".out"
+        os.mkfifo(in_path, 0o600)
+        os.mkfifo(out_path, 0o600)
+        sys.stdout.write(in_path + "\n" + out_path + "\n")
+        sys.stdout.flush()
+        rfd = os.open(in_path, os.O_RDONLY)
+        wfd = os.open(out_path, os.O_WRONLY)
+        os.unlink(in_path)
+        os.unlink(out_path)
+        pid = os.fork()
+        if pid == 0:
+            try:
+                chunks = []
+                while True:
+                    b = os.read(rfd, 65536)
+                    if not b:
+                        break
+                    chunks.append(b)
+                data = b"".join(chunks)
+                from .cli import _process
+                try:
+                    out, _ = _process(data, opts)
+                except Exception:
+                    out = b""
+                off = 0
+                while off < len(out):
+                    off += os.write(wfd, out[off:off + 65536])
+            finally:
+                os.close(rfd)
+                os.close(wfd)
+                os._exit(0)
+        os.close(rfd)
+        os.close(wfd)
+        try:
+            while os.waitpid(-1, os.WNOHANG)[0] > 0:
+                pass
+        except ChildProcessError:
+            pass
