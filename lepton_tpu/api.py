@@ -88,15 +88,59 @@ def _truncation_geometry(info: ImageInfo, hdr_or_dec) -> tuple:
     return max_coded_heights, component_sizes
 
 
+def _filter_header_second_block(hdrdata: bytes) -> bytes:
+    """Keep only the header segments a mid-file slice needs to decode
+    (is_needed_for_second_block, jpgcoder.cc:2242-2265): DHT/DQT/DRI/SOS/SOF
+    plus anything malformed enough not to be understood."""
+    out = bytearray()
+    pos = 0
+    n = len(hdrdata)
+    while pos + 4 <= n:
+        length = 2 + (hdrdata[pos + 2] << 8) + hdrdata[pos + 3]
+        seg = hdrdata[pos:pos + length]
+        if len(seg) <= 2 or seg[0] != 0xFF or \
+                seg[1] in (0xC4, 0xDB, 0xDD, 0xDA, 0xC0, 0xC1, 0xC2):
+            out += seg
+        pos += length
+    return bytes(out)
+
+
 def compress(jpeg_data: bytes, max_threads: int = 8,
              min_threads: int = 1, even_split: bool = False,
-             allow_progressive: bool = False, version: int = 1) -> bytes:
+             allow_progressive: bool = False, version: int = 1,
+             start_byte: int = 0, embedding: int = 0) -> bytes:
     ans = version == 3
-    parsed = parse_jpeg(jpeg_data)
+    if start_byte:
+        # a mid-file slice is always re-emitted sequentially (jpgcoder.cc:1205)
+        allow_progressive = False
+    parsed = parse_jpeg(jpeg_data, embedding=embedding)
     info = image_info_from_header(parsed.hdrdata)
     dec = decode_scans(parsed, info, allow_progressive=allow_progressive)
 
     row_handoffs = dec.handoffs
+    prefix_garbage = None
+    if embedding:
+        prefix_garbage = jpeg_data[:embedding]
+    if start_byte:
+        # keep rows at/after the slice start; the final row survives
+        # unconditionally (jpgcoder.cc:3801-3816)
+        row_handoffs = [
+            th for i, th in enumerate(dec.handoffs)
+            if i == len(dec.handoffs) - 1 or th.segment_size >= start_byte]
+        if row_handoffs[0].segment_size < start_byte:
+            raise LeptonError("only garbage, no JPEG data after start byte")
+        # the straddling row's raw bytes ride as prefix garbage; the final
+        # in-progress byte is re-emitted from the overhang seed, hence the
+        # -1 (jpgcoder.cc:3820-3845)
+        prefix_grbs = row_handoffs[0].segment_size - start_byte
+        if len(row_handoffs) > 1 and prefix_grbs:
+            prefix_grbs -= 1
+        # handoff positions are one-based in-progress-byte counts, so a
+        # start byte near EOF can reach past the raw data; the reference
+        # copies min(available) (jpgcoder.cc:3834-3838) and the decode size
+        # bound trims the padding back off
+        prefix_garbage = jpeg_data[start_byte:start_byte + prefix_grbs]
+        prefix_garbage += b"\0" * (prefix_grbs - len(prefix_garbage))
     fb_size = row_handoffs[-1].segment_size - row_handoffs[0].segment_size
     num_threads = choose_num_threads(len(row_handoffs), fb_size,
                                      max_threads, min_threads)
@@ -125,10 +169,16 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
 
     hdr = LeptonHeader()
     hdr.version = version
-    hdr.mode = ord("Z") if dec.is_baseline else ord("X")
+    if start_byte:
+        hdr.mode = ord("Y")
+    else:
+        hdr.mode = ord("Z") if dec.is_baseline else ord("X")
     hdr.num_threads = num_threads
-    hdr.original_size = parsed.jpgfilesize
-    hdr.hdrdata = parsed.hdrdata
+    hdr.original_size = parsed.jpgfilesize - start_byte
+    hdr.hdrdata = (_filter_header_second_block(parsed.hdrdata)
+                   if start_byte else parsed.hdrdata)
+    hdr.prefix_garbage = prefix_garbage
+    hdr.embedded_jpeg = bool(embedding)
     hdr.padbit = dec.padbit
     hdr.handoffs = splits
     hdr.rst_cnt = parsed.rst_cnt
@@ -197,11 +247,11 @@ def decompress(lep_data: bytes) -> bytes:
         return recode_progressive_jpeg(
             hdr.hdrdata, planes, info2, hdr.padbit, hdr.rst_cnt,
             hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
-            hdr.prefix_garbage or None, hdr.embedded_jpeg)
+            hdr.prefix_garbage, hdr.embedded_jpeg)
     return recode_baseline_jpeg(
         hdr.hdrdata, planes, handoffs, info2, hdr.padbit,
         hdr.rst_cnt, hdr.rst_cnt_set, hdr.rst_err, hdr.garbage,
-        hdr.original_size, hdr.prefix_garbage or None, hdr.embedded_jpeg)
+        hdr.original_size, hdr.prefix_garbage, hdr.embedded_jpeg)
 
 
 # The fake 1x1 grayscale JPEG header used to wrap non-JPEG inputs
@@ -253,7 +303,9 @@ def compress_any(data: bytes, permissive: bool = False, verify: bool = True,
     try:
         lep = compress(data, **kw)
         if verify:
-            if decompress(lep) != data:
+            # a -startbyte slice reconstructs only data[start_byte:]
+            # (the reference validates the md5 of that range, ioutil.cc:221)
+            if decompress(lep) != data[kw.get("start_byte", 0):]:
                 raise LeptonError("roundtrip verification failed")
         return lep
     except Exception:
@@ -338,11 +390,11 @@ def ujg_decompress(ujg_data: bytes) -> bytes:
         return recode_progressive_jpeg(
             hdr.hdrdata, planes, info2, hdr.padbit, hdr.rst_cnt,
             hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
-            hdr.prefix_garbage or None, hdr.embedded_jpeg)
+            hdr.prefix_garbage, hdr.embedded_jpeg)
     handoffs = hdr.handoffs or [ThreadHandoff()]
     handoffs[0].num_overhang_bits = ThreadHandoff.LEGACY_OVERHANG_BITS
     handoffs[-1].luma_y_end = info.cmpnfo[0].bcv
     return recode_baseline_jpeg(
         hdr.hdrdata, planes, handoffs, info2, hdr.padbit, hdr.rst_cnt,
         hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
-        hdr.prefix_garbage or None, hdr.embedded_jpeg)
+        hdr.prefix_garbage, hdr.embedded_jpeg)

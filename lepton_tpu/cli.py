@@ -118,7 +118,11 @@ def main(argv=None) -> int:
         elif arg.startswith("-recodememory="):
             opts["recodememory"] = _parse_size(arg.split("=", 1)[1])
         elif arg.startswith("-trunc="):
-            opts["trunc"] = int(arg.split("=", 1)[1])
+            opts["trunc"] = _parse_size(arg.split("=", 1)[1])
+        elif arg.startswith("-startbyte="):
+            opts["start_byte"] = _parse_size(arg.split("=", 1)[1])
+        elif arg.startswith("-embedding="):
+            opts["embedding"] = _parse_size(arg.split("=", 1)[1])
         elif arg == "-ujg":
             opts["ujg"] = True
         elif arg.startswith("-socket="):
@@ -201,6 +205,9 @@ def _parse_size(s: str) -> int:
 def _process(data: bytes, opts) -> tuple:
     from .api import LeptonError, compress_any, decompress_all
     kind = sniff(data)
+    if opts.get("embedding") and kind != "jpeg":
+        # -embedding declares a JPEG at an offset; the sniff bytes are prefix
+        kind = "jpeg"
     if opts.get("trunc") and kind == "jpeg":
         data = data[:opts["trunc"]]
     if kind == "jpeg" and opts.get("ujg"):
@@ -213,7 +220,9 @@ def _process(data: bytes, opts) -> tuple:
             max_threads=opts["max_threads"], min_threads=opts["min_threads"],
             even_split=opts["even_split"],
             allow_progressive=opts["allow_progressive"],
-            version=opts["version"])
+            version=opts["version"],
+            start_byte=opts.get("start_byte", 0),
+            embedding=opts.get("embedding", 0))
         return out, "jpeg"
     if kind == "ujg":
         from .api import ujg_decompress

@@ -22,6 +22,16 @@ def _load():
         _dec.BrotliDecoderDecompress.restype = ctypes.c_int
         _enc.BrotliEncoderCompress.restype = ctypes.c_int
         _enc.BrotliEncoderMaxCompressedSize.restype = ctypes.c_size_t
+        _enc.BrotliEncoderCreateInstance.restype = ctypes.c_void_p
+        _enc.BrotliEncoderCreateInstance.argtypes = [ctypes.c_void_p] * 3
+        _enc.BrotliEncoderSetParameter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32]
+        _enc.BrotliEncoderCompressStream.restype = ctypes.c_int
+        _enc.BrotliEncoderCompressStream.argtypes = [ctypes.c_void_p,
+            ctypes.c_int] + [ctypes.c_void_p] * 5
+        _enc.BrotliEncoderIsFinished.restype = ctypes.c_int
+        _enc.BrotliEncoderIsFinished.argtypes = [ctypes.c_void_p]
+        _enc.BrotliEncoderDestroyInstance.argtypes = [ctypes.c_void_p]
     return _enc, _dec
 
 
@@ -49,18 +59,52 @@ def decompress(data: bytes, max_size: int = 1 << 28) -> bytes:
         size *= 4
 
 
+# BrotliEncoderParameter values (brotli/encode.h)
+_PARAM_QUALITY = 1
+_PARAM_LGWIN = 2
+_PARAM_LGBLOCK = 3
+_PARAM_SIZE_HINT = 5
+_OP_PROCESS = 0
+_OP_FINISH = 2
+
+
 def compress(data: bytes, quality: int = 10, lgwin: int = None) -> bytes:
-    # reference defaults: quality 10, lgwin = bit_length(size)+1 clamped
-    # (BrotliCompression.cc:48-68, BrotliCompression.hh:47)
+    """Streaming encode matching the reference's parameterization byte-for-
+    byte: SIZE_HINT=len, quality 10, lgwin = bit_length(size)+1 clamped to
+    [10,24], and LGBLOCK pinned to lgwin (BrotliCompression.cc:45-99 —
+    one-shot BrotliEncoderCompress picks its own lgblock, which diverges on
+    large headers)."""
     if lgwin is None:
         lgwin = max(10, min(24, len(data).bit_length() + 1))
     enc, _ = _load()
-    max_size = enc.BrotliEncoderMaxCompressedSize(ctypes.c_size_t(len(data)))
-    out = ctypes.create_string_buffer(max_size or len(data) + 1024)
-    out_len = ctypes.c_size_t(len(out))
-    rc = enc.BrotliEncoderCompress(
-        ctypes.c_int(quality), ctypes.c_int(lgwin), ctypes.c_int(0),
-        ctypes.c_size_t(len(data)), data, ctypes.byref(out_len), out)
-    if rc != 1:
-        raise ValueError("brotli compress failed")
-    return out.raw[:out_len.value]
+    st = enc.BrotliEncoderCreateInstance(None, None, None)
+    if not st:
+        raise ValueError("brotli encoder alloc failed")
+    try:
+        for param, value in ((_PARAM_SIZE_HINT, len(data)),
+                             (_PARAM_QUALITY, quality),
+                             (_PARAM_LGWIN, lgwin),
+                             (_PARAM_LGBLOCK, lgwin)):
+            enc.BrotliEncoderSetParameter(st, ctypes.c_int(param),
+                                          ctypes.c_uint32(value))
+        max_size = enc.BrotliEncoderMaxCompressedSize(
+            ctypes.c_size_t(len(data))) or len(data) + 1024
+        out = ctypes.create_string_buffer(max_size)
+        avail_in = ctypes.c_size_t(len(data))
+        next_in = ctypes.c_char_p(data)
+        avail_out = ctypes.c_size_t(max_size)
+        next_out = ctypes.cast(out, ctypes.c_void_p)
+        total_out = ctypes.c_size_t(0)
+        while True:
+            op = _OP_FINISH if avail_in.value == 0 else _OP_PROCESS
+            rc = enc.BrotliEncoderCompressStream(
+                st, ctypes.c_int(op), ctypes.byref(avail_in),
+                ctypes.byref(next_in), ctypes.byref(avail_out),
+                ctypes.byref(next_out), ctypes.byref(total_out))
+            if not rc:
+                raise ValueError("brotli compress failed")
+            if avail_in.value == 0 and enc.BrotliEncoderIsFinished(st):
+                break
+        return out.raw[:total_out.value]
+    finally:
+        enc.BrotliEncoderDestroyInstance(st)

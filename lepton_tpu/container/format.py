@@ -45,7 +45,7 @@ class LeptonHeader:
     rst_cnt_set: bool = False
     rst_err: List[int] = field(default_factory=list)
     garbage: bytes = b"\xff\xd9"
-    prefix_garbage: bytes = b""
+    prefix_garbage: "bytes | None" = None
     embedded_jpeg: bool = False
     early_eof: bool = False
     max_cmp: int = 0
@@ -98,7 +98,7 @@ def build_header_block(hdr: LeptonHeader) -> bytes:
         out += hdr.max_sah.to_bytes(4, "little")
         for i in range(4):
             out += hdr.max_dpos[i].to_bytes(4, "little")
-    if hdr.prefix_garbage:
+    if hdr.prefix_garbage is not None:
         out += b"PGE" if hdr.embedded_jpeg else b"PGR"
         out += len(hdr.prefix_garbage).to_bytes(4, "little")
         out += hdr.prefix_garbage

@@ -28,7 +28,18 @@ class ParsedJpeg:
     huff_input_offsets: List[Tuple[int, int]] = field(default_factory=list)
 
 
-def parse_jpeg(data: bytes) -> ParsedJpeg:
+def parse_jpeg(data: bytes, embedding: int = 0) -> ParsedJpeg:
+    """Split a JPEG stream.  With `embedding=N` the first N bytes are an
+    arbitrary prefix and the JPEG starts at offset N (the -embedding= mode,
+    reference jpgcoder.cc:2275-2281); recorded file positions stay absolute
+    into the full input so thread-handoff segment sizes match the reference's
+    stream-position bookkeeping."""
+    if embedding:
+        out = parse_jpeg(data[embedding:])
+        out.jpgfilesize = len(data)
+        out.huff_input_offsets = [(h, f + embedding)
+                                  for h, f in out.huff_input_offsets]
+        return out
     if len(data) < 2 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegParseError("not a JPEG (missing SOI)")
     out = ParsedJpeg()

@@ -344,7 +344,7 @@ def merge_jpeg(hdrdata: bytes, huffdata: bytes, scnp, rstp, scnc,
     out = BoundedWriter(max_file_size - grbs)
     if prefix_garbage:
         out.write(prefix_garbage)
-    if embedded_jpeg or not prefix_garbage:
+    if embedded_jpeg or prefix_garbage is None:
         out.write(b"\xff\xd8")
     hdrs = len(hdrdata)
     hpos = 0

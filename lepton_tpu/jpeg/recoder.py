@@ -78,7 +78,7 @@ def _handle_initial_segments(out: BoundedWriter, hdrdata: bytes,
         if stype == 0xDA:
             if prefix_garbage:
                 out.write(prefix_garbage)
-            if embedded_jpeg or not prefix_garbage:
+            if embedded_jpeg or prefix_garbage is None:
                 out.write(b"\xff\xd8")
                 out.write(hdrdata[:byte_position])
             return byte_position
@@ -194,7 +194,7 @@ def recode_baseline_jpeg(hdrdata: bytes, planes, handoffs: List[ThreadHandoff],
                          use_native=None) -> bytes:
     """Port of recode_baseline_jpeg (recoder.cc:694-890), sequential."""
     grbs = len(garbage)
-    out = BoundedWriter(max_file_size - grbs)
+    out = BoundedWriter(max(0, max_file_size - grbs))
     byte_position = _handle_initial_segments(
         out, hdrdata, info, prefix_garbage, embedded_jpeg)
 
@@ -277,7 +277,7 @@ def _recode_native(out: BoundedWriter, byte_position: int, hdrdata: bytes,
     Python loop in recode_baseline_jpeg."""
     from .. import _native
     grbs = len(garbage)
-    bound = max_file_size - grbs
+    bound = max(0, max_file_size - grbs)
     buf = np.zeros(max_file_size + 65536, dtype=np.uint8)
     pos = len(out.buf)
     buf[:pos] = np.frombuffer(bytes(out.buf), dtype=np.uint8)
@@ -329,7 +329,7 @@ def _recode_native(out: BoundedWriter, byte_position: int, hdrdata: bytes,
         if len(result) < bound:
             result += hdrdata[byte_position:
                               byte_position + (bound - len(result))]
-        result += garbage[:max_file_size - len(result)]
+        result += garbage[:max(0, max_file_size - len(result))]
         return bytes(result)
 
     running_ob = handoffs[0].overhang_byte
@@ -369,5 +369,5 @@ def _recode_native(out: BoundedWriter, byte_position: int, hdrdata: bytes,
     if len(result) < bound:
         result += hdrdata[byte_position:
                           byte_position + (bound - len(result))]
-    result += garbage[:max_file_size - len(result)]
+    result += garbage[:max(0, max_file_size - len(result))]
     return bytes(result)
