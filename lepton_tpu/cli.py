@@ -123,6 +123,8 @@ def main(argv=None) -> int:
             opts["start_byte"] = _parse_size(arg.split("=", 1)[1])
         elif arg.startswith("-embedding="):
             opts["embedding"] = _parse_size(arg.split("=", 1)[1])
+        elif arg == "-zlib0":
+            opts["zlib0"] = True
         elif arg == "-ujg":
             opts["ujg"] = True
         elif arg.startswith("-socket="):
@@ -227,6 +229,18 @@ def _process(data: bytes, opts) -> tuple:
     if kind == "ujg":
         from .api import ujg_decompress
         return ujg_decompress(data), "lepton"
+    if kind == "zlepton":
+        # a zlepton file is a lepton container with the zeta magic swapped
+        # in (jpgcoder.cc:552); decoding one forces stored-zlib output
+        data = LEPTON_HEADER + data[2:]
+        kind = "lepton"
+        opts = dict(opts, zlib0=True)
+    if kind == "lepton" and opts.get("zlib0"):
+        # decode output rides in a stored-mode zlib stream (jpgcoder.cc:
+        # 2204-2220: zlepton input or -zlib0 forces compressed output)
+        from .container.zlib0 import zlib0_wrap
+        from .api import decompress_all
+        return zlib0_wrap(decompress_all(data)), "lepton"
     if kind == "lepton":
         if opts.get("recodememory"):
             from .api import read_container, image_info_from_header
@@ -239,9 +253,6 @@ def _process(data: bytes, opts) -> tuple:
                 _err("decompression memory bound exceeded")
                 sys.exit(37)
         return decompress_all(data), "lepton"
-    if kind == "zlepton":
-        import zlib
-        return decompress_all(zlib.decompress(data[2:])), "lepton"
     if opts["permissive"]:
         from .api import generic_compress
         return generic_compress(data), "generic"

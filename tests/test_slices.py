@@ -82,3 +82,24 @@ def test_fork_server(ref_images):
     finally:
         proc.stdin.close()
         assert proc.wait(timeout=10) == 0
+
+
+def test_zlib0_output_and_zlepton_input(ref_images):
+    import zlib
+    from lepton_tpu.cli import _process
+    from lepton_tpu.container.zlib0 import zlib0_wrap
+    jpg = _jpg(ref_images, "androidcrop.jpg")
+    lep = compress(jpg)
+    # -zlib0 wraps decode output in a stored-mode zlib stream
+    out, _ = _process(lep, {"zlib0": True, "permissive": False})
+    assert zlib.decompress(out) == jpg
+    assert out[:2] == b"\x78\x01" and out[-4:] == \
+        (zlib.adler32(jpg) & 0xFFFFFFFF).to_bytes(4, "big")
+    # a zlepton file is a magic-swapped container; output is auto-wrapped
+    zlep = bytes([0xCE, 0xB6]) + lep[2:]
+    out2, _ = _process(zlep, {"permissive": False})
+    assert out2 == out
+    # chunk framing: >64K payload uses multiple stored blocks
+    big = bytes(range(256)) * 600
+    assert zlib.decompress(zlib0_wrap(big)) == big
+    assert zlib.decompress(zlib0_wrap(b"")) == b""
