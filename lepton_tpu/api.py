@@ -193,8 +193,11 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
     return write_container(hdr, mux_streams(streams, hdr.version))
 
 
-def decompress(lep_data: bytes) -> bytes:
-    hdr, mux_region = read_container(lep_data)
+def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
+    hdr, mux_region = read_container(
+        lep_data, pending_header=(_state or {}).get("pending_header"))
+    if _state is not None:
+        _state["pending_header"] = hdr.pending_header
     info = image_info_from_header(hdr.hdrdata)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
     ans = hdr.version == 3
@@ -342,9 +345,10 @@ def decompress_all(data: bytes) -> bytes:
     out = bytearray()
     pos = 0
     n = len(data)
+    state = {}
     while pos + 2 <= n and data[pos:pos + 2] == bytes([0xCF, 0x84]):
         end = _container_end(data, pos)
-        out += decompress(data[pos:end])
+        out += decompress(data[pos:end], _state=state)
         pos = end
     if not out:
         raise LeptonError("no decodable lepton container found")

@@ -259,15 +259,60 @@ def _process(data: bytes, opts) -> tuple:
     raise LeptonError("unknown file type (use -permissive for raw bytes)")
 
 
+def lepcat_merge(datas) -> bytes:
+    """Merge .lep containers with a shared mega-header (concat.cc:28-139).
+
+    All per-file header blocks are decompressed, joined with CNT
+    continuation markers, recompressed once (brotli q11) into the first
+    section; follower sections carry a zero header-size field and each
+    section's trailing LE32 holds its own section length."""
+    from .container import brotli_ffi
+    fixed = [bytearray(d[:28]) for d in datas]
+    fixed[0][0:2] = LEPTON_HEADER
+    headers = []
+    bodies = []
+    for d, f28 in zip(datas, fixed):
+        if d[2] < 2:
+            raise ValueError("only v2+ files support concatenation")
+        if d[4] != datas[0][4]:
+            raise ValueError("all thread counts must match for concatenation")
+        hs = int.from_bytes(f28[24:28], "little")
+        headers.append(brotli_ffi.decompress(d[28:28 + hs]))
+        bodies.append(d[28 + hs:])
+        f28[24:28] = bytes(4)
+    mega = bytearray()
+    for i, h in enumerate(headers):
+        if i:
+            if mega[-3:] == b"CMP":
+                mega[-3:] = b"CNT"
+            else:
+                mega += b"CNT"
+        mega += h
+    cmega = brotli_ffi.compress(bytes(mega), quality=11)
+    out = bytearray()
+    for i, (f28, body) in enumerate(zip(fixed, bodies)):
+        sec = bytearray(f28)
+        if i == 0:
+            sec[24:28] = len(cmega).to_bytes(4, "little")
+            sec += cmega
+        sec += body
+        sec[-4:] = len(sec).to_bytes(4, "little")
+        out += sec
+    return bytes(out)
+
+
 def _lepcat(files) -> int:
-    """Concatenate .lep files into one decodable stream (concat.cc:28)."""
-    if len(files) < 2:
-        _err("lepcat requires at least input and output files")
+    """-lepcat driver: all file args are inputs, merged stream to stdout
+    (matching the reference, where concatenate_files writes to fd 1)."""
+    if not files:
+        _err("lepcat requires input files")
         return 1
-    out = files[-1]
-    blob = b"".join(open(f, "rb").read() for f in files[:-1])
-    with open(out, "wb") as f:
-        f.write(blob)
+    datas = [open(f, "rb").read() for f in files]
+    try:
+        sys.stdout.buffer.write(lepcat_merge(datas))
+    except ValueError as e:
+        _err(str(e))
+        return 1
     return 0
 
 

@@ -52,6 +52,9 @@ class LeptonHeader:
     max_bpos: int = 0
     max_sah: int = 0
     max_dpos: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
+    # unconsumed mega-header bytes after a CNT continuation marker
+    # (lepcat streams, concat.cc:86-99 / jpgcoder.cc:4328-4343)
+    pending_header: Optional[bytes] = None
 
 
 def _compress_header(payload: bytes, version: int) -> bytes:
@@ -130,8 +133,12 @@ def write_container(hdr: LeptonHeader, mux_data: bytes,
     return bytes(out)
 
 
-def read_container(data: bytes):
-    """Returns (LeptonHeader, mux_region_bytes)."""
+def read_container(data: bytes, pending_header: Optional[bytes] = None):
+    """Returns (LeptonHeader, mux_region_bytes).
+
+    `pending_header` supplies the retained mega-header remainder for the
+    continuation containers of a -lepcat stream (their own header-size
+    field is zero; jpgcoder.cc:4138-4142 reuses the live header_reader)."""
     if data[:2] not in (C.LEPTON_HEADER, C.UJG_HEADER):
         raise ContainerError("bad magic")
     hdr = LeptonHeader()
@@ -145,9 +152,12 @@ def read_container(data: bytes):
     hdr.git_revision = data[8:20]
     hdr.original_size = int.from_bytes(data[20:24], "little")
     ch_size = int.from_bytes(data[24:28], "little")
-    block = _decompress_header(data[28:28 + ch_size], hdr.version)
+    if pending_header:
+        block = pending_header
+    else:
+        block = _decompress_header(data[28:28 + ch_size], hdr.version)
     pos = 28 + ch_size
-    _parse_header_block(hdr, block)
+    hdr.pending_header = _parse_header_block(hdr, block)
     if data[pos:pos + 3] != b"CMP":
         raise ContainerError("CMP marker missing")
     pos += 3
@@ -156,7 +166,9 @@ def read_container(data: bytes):
     return hdr, data[pos:end]
 
 
-def _parse_header_block(hdr: LeptonHeader, block: bytes) -> None:
+def _parse_header_block(hdr: LeptonHeader, block: bytes) -> Optional[bytes]:
+    """Parse one file's markers; returns the remainder after a CNT
+    continuation marker (None when the block ends normally)."""
     pos = 0
     n = len(block)
     if block[pos:pos + 3] != b"HDR":
@@ -225,7 +237,10 @@ def _parse_header_block(hdr: LeptonHeader, block: bytes) -> None:
                 int.from_bytes(block[pos + 12 + 4 * i:pos + 16 + 4 * i],
                                "little") for i in range(4)]
             pos += 28
-        elif mrk in (b"CMP", b"CNT"):
+        elif mrk == b"CNT":
+            return block[pos:]
+        elif mrk == b"CMP":
             break
         else:
             raise ContainerError(f"unknown header marker {mrk!r}")
+    return None

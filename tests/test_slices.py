@@ -103,3 +103,21 @@ def test_zlib0_output_and_zlepton_input(ref_images):
     big = bytes(range(256)) * 600
     assert zlib.decompress(zlib0_wrap(big)) == big
     assert zlib.decompress(zlib0_wrap(b"")) == b""
+
+
+def test_lepcat_mega_header(ref_images):
+    from lepton_tpu.api import decompress_all
+    from lepton_tpu.cli import lepcat_merge
+    from lepton_tpu.container import brotli_ffi
+    if not brotli_ffi.available():
+        pytest.skip("brotli unavailable")
+    j1 = _jpg(ref_images, "androidcrop.jpg")
+    j2 = _jpg(ref_images, "narrowrst.jpg")
+    a = compress(j1, version=2)
+    b = compress(j2, version=2)
+    merged = lepcat_merge([a, b])
+    # follower section carries a zero header-size field (concat.cc:70)
+    assert decompress_all(merged) == j1 + j2
+    # v1 files are rejected like the reference's version assert
+    with pytest.raises(ValueError):
+        lepcat_merge([compress(j1), compress(j2)])
