@@ -137,6 +137,20 @@ typedef struct {
 
 static void vpxr_fill(VpxReader *r) {
     int64_t shift = 48 - r->count;
+    if (shift >= 0 && r->pos + 8 <= r->len) {
+        /* bulk refill: consume n = shift/8 + 1 bytes in one BE load
+         * (same packing as the reference's vpx_reader_fill loop,
+         * boolreader.hh:184-258) */
+        uint64_t be;
+        memcpy(&be, r->data + r->pos, 8);
+        be = __builtin_bswap64(be);
+        int n = (int)(shift >> 3) + 1;
+        int rem = (int)(shift - 8 * (n - 1));
+        r->value |= (be >> (64 - 8 * n)) << rem;
+        r->pos += (size_t)n;
+        r->count += 8 * n;
+        return;
+    }
     while (shift >= 0) {
         if (r->pos < r->len) {
             r->value |= (uint64_t)r->data[r->pos++] << shift;
@@ -265,7 +279,24 @@ typedef struct {
     int32_t icos_x[64];
     int32_t icos_y[64];
     uint8_t min_noise_threshold[64];
+    /* Lemire exact-division magic for d = 8192*quant[coord] (the Lakhani
+     * normalizer, model.hh:1060) and d = quant[0] (DC prediction round):
+     * for 0 <= n < 2^32, n/d == mulhi64(M, n) with M = ~0/d + 1. */
+    uint64_t lak_div_magic[64];
+    uint64_t q0_div_magic;
 } ColorTables;
+
+static inline uint32_t fastdiv_u32(uint32_t n, uint64_t magic) {
+    /* magic 0 encodes d == 1 (where ~0/d + 1 wraps to 0) */
+    return magic ? (uint32_t)(((unsigned __int128)magic * n) >> 64) : n;
+}
+
+static inline int32_t fastdiv_i32(int32_t n, uint64_t magic) {
+    /* C truncating division for positive divisors */
+    uint32_t a = (uint32_t)(n < 0 ? -n : n);
+    uint32_t q = fastdiv_u32(a, magic);
+    return n < 0 ? -(int32_t)q : (int32_t)q;
+}
 
 static const int ICOS_BASE_8192[64] = {
     8192,  8192,  8192,  8192,  8192,  8192,  8192,  8192,
@@ -314,7 +345,10 @@ EXPORT void lepton_init_color(ColorTables *ct, const uint16_t *quant_raster) {
         while ((1u << len) <= fm) ++len;  /* bit_length */
         ct->min_noise_threshold[coord] =
             (uint8_t)(len > RESID_FLOOR ? len - RESID_FLOOR : 0);
+        uint64_t d = 8192ull * (ct->quant[coord] ? ct->quant[coord] : 1);
+        ct->lak_div_magic[coord] = ~0ull / d + 1;
     }
+    ct->q0_div_magic = ~0ull / (ct->quant[0] ? ct->quant[0] : 1) + 1;
 }
 
 EXPORT int lepton_color_tables_size(void) { return (int)sizeof(ColorTables); }
@@ -443,29 +477,31 @@ static int compute_aavrg(int coord, const int16_t *left, const int16_t *above,
 
 static int compute_lak(int coord, const int16_t *here, const int16_t *above,
                        const int16_t *left, const ColorTables *ct) {
-    /* model.hh:1033-1071 */
-    const int16_t *neighbor;
-    const int32_t *icos;
-    int idxs[8];
+    /* model.hh:1033-1071; the final normalizer icos[0] is 8192*quant[coord]
+     * for both directions, divided exactly via the precomputed magic */
+    int32_t pred;
     if ((coord & 7) && coord < 8) {
         if (!above) return 0;
-        neighbor = above;
-        for (int i = 0; i < 8; ++i) idxs[i] = coord + i * 8;
-        icos = ct->icos_x + coord * 8;
+        const int32_t *icos = ct->icos_x + coord * 8;
+        pred = above[coord] * icos[0];
+        for (int i = 1; i < 8; ++i) {
+            int k = coord + i * 8;
+            int sign = (i & 1) ? 1 : -1;
+            pred -= icos[i] * (here[k] + sign * above[k]);
+        }
     } else if ((coord & 7) == 0 && coord >= 8) {
         if (!left) return 0;
-        neighbor = left;
-        for (int i = 0; i < 8; ++i) idxs[i] = coord + i;
-        icos = ct->icos_y + coord;
+        const int32_t *icos = ct->icos_y + coord;
+        pred = left[coord] * icos[0];
+        for (int i = 1; i < 8; ++i) {
+            int k = coord + i;
+            int sign = (i & 1) ? 1 : -1;
+            pred -= icos[i] * (here[k] + sign * left[k]);
+        }
     } else {
         return 0;
     }
-    int32_t pred = neighbor[idxs[0]] * icos[0];
-    for (int i = 1; i < 8; ++i) {
-        int sign = (i & 1) ? 1 : -1;
-        pred -= icos[i] * (here[idxs[i]] + sign * neighbor[idxs[i]]);
-    }
-    return pred / icos[0];
+    return fastdiv_i32(pred, ct->lak_div_magic[coord]);
 }
 
 static int adv_predict_dc_pix(const int16_t *here, const ColorTables *ct,
@@ -514,7 +550,7 @@ static int adv_predict_dc_pix(const int16_t *here, const ColorTables *ct,
         if (abs(avg_h) < abs(avg_v)) far_afield = avg_h;
         *uncertainty2 = far_afield >> 3;
     }
-    return (avgmed / ct->quant[0] + 4) >> 3;
+    return (fastdiv_i32(avgmed, ct->q0_div_magic) + 4) >> 3;
 }
 
 static void set_summary(Summary *s, const int16_t *pixels, int q0, int dc) {
@@ -1105,6 +1141,13 @@ static void hbr_init(HBitReader *r, const uint8_t *data, int64_t nbytes) {
 static inline uint32_t hbr_extract(const HBitReader *r, int64_t pos, int n) {
     /* n <= 25 guaranteed by callers */
     int64_t first = pos >> 3;
+    if (first + 8 <= (r->nbits >> 3)) {
+        uint64_t be;
+        memcpy(&be, r->data + first, 8);
+        be = __builtin_bswap64(be);
+        int bitoff = (int)(pos & 7);
+        return (uint32_t)((be << bitoff) >> (64 - n));
+    }
     uint64_t chunk = 0;
     int nbytes = (int)(((pos + n - 1) >> 3) - first + 1);
     for (int i = 0; i < nbytes; ++i) chunk = (chunk << 8) | r->data[first + i];
