@@ -241,6 +241,17 @@ static void init_branch_lut(void) {
     }
 }
 
+static uint8_t identity_arena_template[ARENA_SIZE * 3];
+
+__attribute__((constructor))
+static void init_identity_arena(void) {
+    for (int i = 0; i < ARENA_SIZE; ++i) {
+        identity_arena_template[i * 3] = 1;
+        identity_arena_template[i * 3 + 1] = 1;
+        identity_arena_template[i * 3 + 2] = 128;
+    }
+}
+
 static inline void branch_update(uint8_t *b, int obs) {
     uint32_t v = BRANCH_LUT[(((uint32_t)b[0] << 8) | b[1]) * 2 + obs];
     b[0] = (uint8_t)v;
@@ -284,6 +295,7 @@ typedef struct {
      * for 0 <= n < 2^32, n/d == mulhi64(M, n) with M = ~0/d + 1. */
     uint64_t lak_div_magic[64];
     uint64_t q0_div_magic;
+    int32_t icos_xT[64];           /* icos_xT[i*8+c] = icos_x[c*8+i] */
 } ColorTables;
 
 static inline uint32_t fastdiv_u32(uint32_t n, uint64_t magic) {
@@ -349,6 +361,9 @@ EXPORT void lepton_init_color(ColorTables *ct, const uint16_t *quant_raster) {
         ct->lak_div_magic[coord] = ~0ull / d + 1;
     }
     ct->q0_div_magic = ~0ull / (ct->quant[0] ? ct->quant[0] : 1) + 1;
+    for (int i = 0; i < 8; ++i)
+        for (int c = 0; c < 8; ++c)
+            ct->icos_xT[i * 8 + c] = ct->icos_x[c * 8 + i];
 }
 
 EXPORT int lepton_color_tables_size(void) { return (int)sizeof(ColorTables); }
@@ -475,6 +490,79 @@ static int compute_aavrg(int coord, const int16_t *left, const int16_t *above,
     return total;
 }
 
+/* Whole-block context precomputation (the reference SIMD-izes the same
+ * quantities per block, model.hh:895-924 / :928-1031; here the per-block
+ * arrays make the loops vectorizable and branch-free). */
+
+static void compute_aavrg_block(uint16_t out[64], const int16_t *left,
+                                const int16_t *above,
+                                const int16_t *aboveleft) {
+    if (left && above) {
+        for (int i = 0; i < 64; ++i) {
+            uint16_t t = (uint16_t)(abs(left[i]) + abs(above[i]));
+            t = (uint16_t)(t * 13 + 6 * (uint16_t)abs(aboveleft[i]));
+            out[i] = (uint16_t)(t >> 5);
+        }
+    } else if (left) {
+        for (int i = 0; i < 64; ++i) out[i] = (uint16_t)abs(left[i]);
+    } else if (above) {
+        for (int i = 0; i < 64; ++i) out[i] = (uint16_t)abs(above[i]);
+    } else {
+        memset(out, 0, 64 * sizeof(uint16_t));
+    }
+}
+
+/* All 14 Lakhani predictions for one block: lak_h[c] (c=1..7, row-0 edge,
+ * needs `above`), lak_v[r] (r=1..7, col-0 edge, needs `left`).  Both use
+ * only the 7x7 interior of `here`, so on decode they are computed right
+ * after the interior coefficients, before the edges (decoder.cc:29-142
+ * computes them lazily at the same point). */
+static void compute_lak_h(int32_t lak_h[8], const int16_t *here,
+                          const int16_t *above, const ColorTables *ct) {
+    if (above) {
+        int32_t pred[8];
+        for (int c = 0; c < 8; ++c)
+            pred[c] = above[c] * ct->icos_xT[c];
+        for (int i = 1; i < 8; ++i) {
+            const int32_t *ic = ct->icos_xT + i * 8;
+            const int16_t *hr = here + i * 8;
+            const int16_t *ar = above + i * 8;
+            if (i & 1)
+                for (int c = 0; c < 8; ++c)
+                    pred[c] -= ic[c] * (hr[c] + ar[c]);
+            else
+                for (int c = 0; c < 8; ++c)
+                    pred[c] -= ic[c] * (hr[c] - ar[c]);
+        }
+        lak_h[0] = 0;
+        for (int c = 1; c < 8; ++c)
+            lak_h[c] = fastdiv_i32(pred[c], ct->lak_div_magic[c]);
+    } else {
+        memset(lak_h, 0, 8 * sizeof(int32_t));
+    }
+}
+
+static void compute_lak_v(int32_t lak_v[8], const int16_t *here,
+                          const int16_t *left, const ColorTables *ct) {
+    if (left) {
+        for (int r = 1; r < 8; ++r) {
+            const int32_t *ic = ct->icos_y + r * 8;
+            const int16_t *hr = here + r * 8;
+            const int16_t *lr = left + r * 8;
+            int32_t pred = lr[0] * ic[0];
+            for (int i = 1; i < 8; ++i) {
+                int32_t s = (i & 1) ? (int32_t)(hr[i] + lr[i])
+                                    : (int32_t)(hr[i] - lr[i]);
+                pred -= ic[i] * s;
+            }
+            lak_v[r] = fastdiv_i32(pred, ct->lak_div_magic[r * 8]);
+        }
+        lak_v[0] = 0;
+    } else {
+        memset(lak_v, 0, 8 * sizeof(int32_t));
+    }
+}
+
 static int compute_lak(int coord, const int16_t *here, const int16_t *above,
                        const int16_t *left, const ColorTables *ct) {
     /* model.hh:1033-1071; the final normalizer icos[0] is 8192*quant[coord]
@@ -598,7 +686,7 @@ typedef struct {
 } CompCtx;
 
 static void encode_edge(Coder *c, const CompCtx *cc, const int16_t *here,
-                        const int16_t *left, const int16_t *above,
+                        const int16_t *neighbor,
                         int nz7x7, int est_eob, int horizontal) {
     int ci = cc->ci;
     int num_nonzeros_edge = 0;
@@ -620,9 +708,14 @@ static void encode_edge(Coder *c, const CompCtx *cc, const int16_t *here,
         coder_put(c, bit, nz_base + i * S_NZE_IDX + so_far);
         so_far = (so_far << 1) | bit;
     }
+    int32_t lak[8];
+    if (num_nonzeros_edge) {
+        if (horizontal) compute_lak_h(lak, here, neighbor, cc->ct);
+        else compute_lak_v(lak, here, neighbor, cc->ct);
+    }
     int coord = delta;
     for (int lane = 0; lane < 7 && num_nonzeros_edge; ++lane, coord += delta) {
-        int best_prior = compute_lak(coord, here, above, left, cc->ct);
+        int best_prior = lak[horizontal ? coord : (coord >> 3)];
         int bsr = bsr_prior(best_prior);
         int exp_slice = OFF_EXPX + ci * S_EX_CI + num_nonzeros_edge * S_EX_BIN
             + (zig15 + lane) * S_EX_ZZ + bsr * S_EX_BSR;
@@ -667,7 +760,7 @@ static void encode_edge(Coder *c, const CompCtx *cc, const int16_t *here,
 }
 
 static void decode_edge(Coder *c, const CompCtx *cc, int16_t *here,
-                        const int16_t *left, const int16_t *above,
+                        const int16_t *neighbor,
                         int nz7x7, int est_eob, int horizontal, int *err) {
     int ci = cc->ci;
     int delta, zig15, nz_base;
@@ -688,9 +781,14 @@ static void decode_edge(Coder *c, const CompCtx *cc, int16_t *here,
         so_far = (so_far << 1) | bit;
     }
     if (num_nonzeros_edge > 7) { *err = 1; return; }
+    int32_t lak[8];
+    if (num_nonzeros_edge) {
+        if (horizontal) compute_lak_h(lak, here, neighbor, cc->ct);
+        else compute_lak_v(lak, here, neighbor, cc->ct);
+    }
     int coord = delta;
     for (int lane = 0; lane < 7 && num_nonzeros_edge; ++lane, coord += delta) {
-        int best_prior = compute_lak(coord, here, above, left, cc->ct);
+        int best_prior = lak[horizontal ? coord : (coord >> 3)];
         int bsr = bsr_prior(best_prior);
         int exp_slice = OFF_EXPX + ci * S_EX_CI + num_nonzeros_edge * S_EX_BIN
             + (zig15 + lane) * S_EX_ZZ + bsr * S_EX_BSR;
@@ -743,6 +841,8 @@ static void encode_block(Coder *c, const CompCtx *cc, const int16_t *here,
         for (int col = 1; col < 8; ++col)
             if (here[r * 8 + col]) ++nz7x7;
     cur_s->nz = (uint8_t)nz7x7;
+    uint16_t aavrg_arr[64];
+    if (nz7x7) compute_aavrg_block(aavrg_arr, left, above, aboveleft);
 
     int nz_ctx;
     if (above_s && left_s) nz_ctx = (above_s->nz + left_s->nz + 2) / 4;
@@ -764,8 +864,7 @@ static void encode_block(Coder *c, const CompCtx *cc, const int16_t *here,
         int coef = here[coord];
         unsigned abs_coef = (unsigned)(coef < 0 ? -coef : coef);
         int length = bit_length_u(abs_coef);
-        int aavrg = compute_aavrg(coord, left, above, aboveleft);
-        int bsr = bsr_prior(aavrg);
+        int bsr = bsr_prior(aavrg_arr[coord]);
         int nnz_bin = NONZERO_TO_BIN[nz_left];
         int exp_slice = OFF_EXP7 + ci * S_E7_CI + nnz_bin * S_E7_BIN
             + zz * S_E7_ZZ + bsr * S_E7_BSR;
@@ -789,8 +888,8 @@ static void encode_block(Coder *c, const CompCtx *cc, const int16_t *here,
         }
     }
 
-    encode_edge(c, cc, here, left, above, nz7x7, eob_x, 1);
-    encode_edge(c, cc, here, left, above, nz7x7, eob_y, 0);
+    encode_edge(c, cc, here, above, nz7x7, eob_x, 1);
+    encode_edge(c, cc, here, left, nz7x7, eob_y, 0);
 
     int uncertainty, uncertainty2;
     int16_t pixels[64];
@@ -843,13 +942,14 @@ static void decode_block(Coder *c, const CompCtx *cc, int16_t *here,
         so_far = (so_far << 1) | bit;
     }
     if (nz7x7 > 49) { *err = 1; return; }
+    uint16_t aavrg_arr[64];
+    if (nz7x7) compute_aavrg_block(aavrg_arr, left, above, aboveleft);
 
     int eob_x = 0, eob_y = 0;
     int nz_left = nz7x7;
     for (int zz = 0; zz < 49 && nz_left; ++zz) {
         int coord = UNZIGZAG49[zz];
-        int aavrg = compute_aavrg(coord, left, above, aboveleft);
-        int bsr = bsr_prior(aavrg);
+        int bsr = bsr_prior(aavrg_arr[coord]);
         int nnz_bin = NONZERO_TO_BIN[nz_left];
         int exp_slice = OFF_EXP7 + ci * S_E7_CI + nnz_bin * S_E7_BIN
             + zz * S_E7_ZZ + bsr * S_E7_BSR;
@@ -875,9 +975,9 @@ static void decode_block(Coder *c, const CompCtx *cc, int16_t *here,
         }
     }
 
-    decode_edge(c, cc, here, left, above, nz7x7, eob_x, 1, err);
+    decode_edge(c, cc, here, above, nz7x7, eob_x, 1, err);
     if (*err) return;
-    decode_edge(c, cc, here, left, above, nz7x7, eob_y, 0, err);
+    decode_edge(c, cc, here, left, nz7x7, eob_y, 0, err);
     if (*err) return;
 
     int uncertainty, uncertainty2;
@@ -1013,12 +1113,8 @@ static int run_segment(const Image *im, Coder *c, int min_y, int max_y,
         st.rings[i] = w ? (Summary *)calloc(2 * (size_t)w, sizeof(Summary))
                         : NULL;
     }
-    /* identity model */
-    for (int i = 0; i < ARENA_SIZE; ++i) {
-        c->arena[i * 3] = 1;
-        c->arena[i * 3 + 1] = 1;
-        c->arena[i * 3 + 2] = 128;
-    }
+    /* identity model (lepton_codec.hh:173-181 per-thread model reset) */
+    memcpy(c->arena, identity_arena_template, ARENA_SIZE * 3);
     int index = 0;
     while (!err) {
         RowSpec spec = row_spec_from_index(index++, im);
@@ -1092,6 +1188,8 @@ EXPORT int lepton_decode_segment(
 
 typedef struct {
     uint32_t lut[1 << 16];   /* (symbol << 5) | length, 0 = invalid */
+    uint32_t lut9[1 << 9];   /* codes of length <= 9 (hot, L1-resident);
+                                0 = escape to the full 16-bit table */
     uint16_t cval[256];
     uint8_t clen[256];
     int valid;
@@ -1120,6 +1218,12 @@ EXPORT void lepton_build_huff(HuffTable *ht, const uint8_t *counts,
         uint32_t span = 1u << (16 - ln);
         for (uint32_t i = 0; i < span; ++i)
             ht->lut[prefix + i] = ((uint32_t)sym << 5) | (uint32_t)ln;
+        if (ln <= 9) {
+            uint32_t prefix9 = (uint32_t)ht->cval[sym] << (9 - ln);
+            uint32_t span9 = 1u << (9 - ln);
+            for (uint32_t i = 0; i < span9; ++i)
+                ht->lut9[prefix9 + i] = ((uint32_t)sym << 5) | (uint32_t)ln;
+        }
         ht->valid = 1;
     }
 }
@@ -1174,14 +1278,24 @@ static uint32_t hbr_read(HBitReader *r, int n) {
 
 static int huff_decode(HBitReader *r, const HuffTable *ht) {
     int64_t navail = r->nbits - r->pos;
+    if (!r->eof && navail >= 16) {
+        /* hot path: one peek, L1 table for short codes, skip-advance */
+        uint32_t peek = hbr_extract(r, r->pos, 16);
+        uint32_t entry = ht->lut9[peek >> 7];
+        if (!entry) entry = ht->lut[peek];
+        int ln = (int)(entry & 31);
+        if (!ln) { hbr_read(r, 16); return -1; }
+        r->pos += ln;
+        if (r->pos == r->nbits) r->eof = 1;
+        return (int)(entry >> 5);
+    }
     uint32_t peek;
     if (r->eof) peek = 0;
-    else if (navail >= 16) peek = hbr_extract(r, r->pos, 16);
     else peek = navail ? hbr_extract(r, r->pos, (int)navail) << (16 - navail) : 0;
     uint32_t entry = ht->lut[peek];
     int ln = (int)(entry & 31);
     if (!ln) {
-        hbr_read(r, navail >= 16 ? 16 : (int)(navail > 0 ? navail : 0));
+        hbr_read(r, (int)(navail > 0 ? navail : 0));
         return -1;
     }
     hbr_read(r, ln);

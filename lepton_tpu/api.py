@@ -34,7 +34,11 @@ _MAX_WORKERS = None
 
 
 def _parallel_map(fn, jobs):
-    """Thread-pool map for GIL-dropping native segment calls."""
+    """Thread-pool map for GIL-dropping native segment calls.
+
+    On a single-CPU host the pool only adds context switches, so run
+    serially (the reference likewise downgrades its worker count,
+    jpgcoder.cc:3861-3945)."""
     global _MAX_WORKERS
     if _MAX_WORKERS is None:
         _MAX_WORKERS = min(8, os.cpu_count() or 1)
