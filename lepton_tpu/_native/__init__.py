@@ -20,6 +20,11 @@ _SO = os.path.join(_HERE, "libleptonc.so")
 _lib = None
 _lock = threading.Lock()
 
+# -injectsyscall= fault-injection points 2/4: issue a jail-banned syscall
+# from inside the next segment encode/decode (jpgcoder.cc:1324)
+inject_on_encode = False
+inject_on_decode = False
+
 
 class NativeUnavailable(Exception):
     pass
@@ -118,6 +123,10 @@ class NativeImage:
         self.arena = np.empty(ARENA_SIZE * 3, dtype=np.uint8)
 
     def encode_segment(self, min_y: int, max_y: int, is_last: bool) -> bytes:
+        global inject_on_encode
+        if inject_on_encode:
+            inject_on_encode = False
+            self.lib.lepton_inject_syscall()
         arena = _thread_arena()
         cap = sum(p.nbytes for p in self.planes) + (1 << 20)
         out = np.empty(cap, dtype=np.uint8)
@@ -133,6 +142,10 @@ class NativeImage:
 
     def decode_segment(self, data: bytes, min_y: int, max_y: int,
                        is_last: bool) -> None:
+        global inject_on_decode
+        if inject_on_decode:
+            inject_on_decode = False
+            self.lib.lepton_inject_syscall()
         arena = _thread_arena()
         buf = np.frombuffer(data, dtype=np.uint8)
         err = self.lib.lepton_decode_segment(

@@ -2259,3 +2259,159 @@ EXPORT int64_t lepton_recode_any_scan(
     *n_rstp_io = n_rstp;
     return (int64_t)w.pos;
 }
+
+/* ================================================================== */
+/* Sandbox: seccomp-BPF syscall jail                                   */
+/* (TPU-native equivalent of the reference's strict-mode seccomp,      */
+/*  src/io/Seccomp.cc:67-138.  The reference preallocates all memory   */
+/*  so it can ban mmap/brk outright; a Python-hosted runtime cannot,   */
+/*  so the jail is an allow-list that keeps memory + synchronization   */
+/*  syscalls and kills filesystem/exec/network access.)                */
+/* ================================================================== */
+#ifdef __linux__
+#include <stddef.h>
+#include <sys/prctl.h>
+#include <sys/syscall.h>
+#include <unistd.h>
+#include <linux/filter.h>
+#include <linux/seccomp.h>
+#include <linux/audit.h>
+
+#if defined(__x86_64__)
+#define JAIL_ARCH AUDIT_ARCH_X86_64
+#elif defined(__aarch64__)
+#define JAIL_ARCH AUDIT_ARCH_AARCH64
+#endif
+
+#ifndef SECCOMP_RET_KILL_PROCESS
+#define SECCOMP_RET_KILL_PROCESS SECCOMP_RET_KILL
+#endif
+
+#ifdef JAIL_ARCH
+static const int jail_allowed[] = {
+    __NR_read, __NR_write, __NR_writev, __NR_close, __NR_fstat,
+    __NR_lseek, __NR_exit, __NR_exit_group, __NR_rt_sigreturn,
+    __NR_sigaltstack,
+    /* memory (Python/numpy allocate continuously) */
+    __NR_brk, __NR_mmap, __NR_munmap, __NR_mprotect, __NR_mremap,
+    __NR_madvise,
+    /* threads & sync (worker pool, GIL) */
+    __NR_futex, __NR_sched_yield, __NR_getpid, __NR_gettid,
+    __NR_tgkill, __NR_rt_sigaction, __NR_rt_sigprocmask,
+    __NR_restart_syscall,
+    /* time (timing harness, CPython internals) */
+    __NR_clock_gettime, __NR_clock_nanosleep, __NR_nanosleep,
+    __NR_gettimeofday,
+    __NR_getrandom,
+    /* serving: poll/accept loop stays outside the jail; children only
+       pump already-open fds */
+    __NR_poll, __NR_ppoll, __NR_epoll_wait, __NR_epoll_pwait,
+    __NR_dup, __NR_dup2, __NR_shutdown,
+    __NR_membarrier, __NR_sched_getaffinity,
+    /* socket data pumping on already-open fds (serve children) */
+    __NR_recvfrom, __NR_sendto, __NR_recvmsg, __NR_sendmsg,
+    __NR_getsockopt,
+};
+
+#ifndef CLONE_THREAD
+#define CLONE_THREAD 0x00010000
+#endif
+
+#include <signal.h>
+static void jail_sigsys_report(int sig, siginfo_t *info, void *ctx) {
+    (void)sig; (void)ctx;
+    char msg[64] = "jail: banned syscall ";
+    int nr = info->si_syscall;
+    int len = 21;
+    if (nr >= 100) msg[len++] = (char)('0' + nr / 100 % 10);
+    if (nr >= 10) msg[len++] = (char)('0' + nr / 10 % 10);
+    msg[len++] = (char)('0' + nr % 10);
+    msg[len++] = '\n';
+    ssize_t r = write(2, msg, (size_t)len);
+    (void)r;
+    _exit(159);
+}
+
+/* trap mode: report the banned syscall number on stderr, then exit
+ * (debug aid; KILL mode is the production contract) */
+EXPORT int lepton_install_jail_trap(void);
+
+static int lepton_install_jail_mode(unsigned deny_action);
+
+EXPORT int lepton_install_jail(void) {
+    return lepton_install_jail_mode(SECCOMP_RET_KILL_PROCESS);
+}
+
+EXPORT int lepton_install_jail_trap(void) {
+    struct sigaction sa;
+    memset(&sa, 0, sizeof(sa));
+    sa.sa_sigaction = jail_sigsys_report;
+    sa.sa_flags = SA_SIGINFO;
+    sigaction(SIGSYS, &sa, NULL);
+    return lepton_install_jail_mode(SECCOMP_RET_TRAP);
+}
+
+static int lepton_install_jail_mode(unsigned deny_action) {
+    size_t n = sizeof(jail_allowed) / sizeof(jail_allowed[0]);
+    /* load arch + nr, compare against the allow list, else KILL.
+     * clone is allowed only with CLONE_THREAD (worker threads, never
+     * processes); clone3 returns ENOSYS so glibc falls back to clone. */
+    struct sock_filter prog[16 + 2 * 80];
+    size_t p = 0;
+    prog[p++] = (struct sock_filter)BPF_STMT(
+        BPF_LD | BPF_W | BPF_ABS, offsetof(struct seccomp_data, arch));
+    prog[p++] = (struct sock_filter)BPF_JUMP(
+        BPF_JMP | BPF_JEQ | BPF_K, JAIL_ARCH, 1, 0);
+    prog[p++] = (struct sock_filter)BPF_STMT(
+        BPF_RET | BPF_K, SECCOMP_RET_KILL_PROCESS);
+    prog[p++] = (struct sock_filter)BPF_STMT(
+        BPF_LD | BPF_W | BPF_ABS, offsetof(struct seccomp_data, nr));
+    for (size_t i = 0; i < n; ++i) {
+        prog[p++] = (struct sock_filter)BPF_JUMP(
+            BPF_JMP | BPF_JEQ | BPF_K, (unsigned)jail_allowed[i], 0, 1);
+        prog[p++] = (struct sock_filter)BPF_STMT(
+            BPF_RET | BPF_K, SECCOMP_RET_ALLOW);
+    }
+    /* clone3 -> ENOSYS (fall back to clone) */
+    prog[p++] = (struct sock_filter)BPF_JUMP(
+        BPF_JMP | BPF_JEQ | BPF_K, __NR_clone3, 0, 1);
+    prog[p++] = (struct sock_filter)BPF_STMT(
+        BPF_RET | BPF_K, SECCOMP_RET_ERRNO | 38 /* ENOSYS */);
+    /* clone: allow only when flags carry CLONE_THREAD */
+    prog[p++] = (struct sock_filter)BPF_JUMP(
+        BPF_JMP | BPF_JEQ | BPF_K, __NR_clone, 0, 4);
+    prog[p++] = (struct sock_filter)BPF_STMT(
+        BPF_LD | BPF_W | BPF_ABS, offsetof(struct seccomp_data, args[0]));
+    prog[p++] = (struct sock_filter)BPF_JUMP(
+        BPF_JMP | BPF_JSET | BPF_K, CLONE_THREAD, 0, 1);
+    prog[p++] = (struct sock_filter)BPF_STMT(
+        BPF_RET | BPF_K, SECCOMP_RET_ALLOW);
+    prog[p++] = (struct sock_filter)BPF_STMT(
+        BPF_RET | BPF_K, deny_action);
+    prog[p++] = (struct sock_filter)BPF_STMT(
+        BPF_RET | BPF_K, deny_action);
+    struct sock_fprog fprog = { (unsigned short)p, prog };
+    if (prctl(PR_SET_NO_NEW_PRIVS, 1, 0, 0, 0) != 0) return -1;
+    if (prctl(PR_SET_SECCOMP, SECCOMP_MODE_FILTER, &fprog) != 0) return -2;
+    return 0;
+}
+
+EXPORT int lepton_jail_supported(void) { return 1; }
+
+/* fault injection: issue a banned syscall (getcwd, like the reference's
+ * test_syscall_injection, jpgcoder.cc:1324) -- under the jail the process
+ * dies with SIGSYS */
+EXPORT long lepton_inject_syscall(void) {
+    char buf[64];
+    return syscall(__NR_getcwd, buf, sizeof(buf));
+}
+#else
+EXPORT int lepton_install_jail(void) { return -3; }
+EXPORT int lepton_jail_supported(void) { return 0; }
+EXPORT long lepton_inject_syscall(void) { return -1; }
+#endif
+#else
+EXPORT int lepton_install_jail(void) { return -3; }
+EXPORT int lepton_jail_supported(void) { return 0; }
+EXPORT long lepton_inject_syscall(void) { return -1; }
+#endif

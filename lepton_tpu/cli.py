@@ -28,7 +28,10 @@ Usage: lepton [switches] input_file [output_file]
   -singlethread    : encode/decode using a single thread
   -allowprogressive: allow progressive jpegs through the compressor
   -rejectprogressive: reject encoding progressive jpegs
-  -unjailed        : do not sandbox (sandboxing is a no-op placeholder)
+  -unjailed        : do not install the seccomp-BPF syscall jail
+  -injectsyscall=<1-4>: fault injection: issue a banned syscall from the
+                     main thread (1,3) or a segment worker (2,4); under
+                     the jail the process must die with SIGSYS
   -maxencodethreads=<n> : upper bound on encode segments
   -minencodethreads=<n> : lower bound on encode segments
   -evensplit       : split segments evenly by row count
@@ -100,9 +103,13 @@ def main(argv=None) -> int:
             opts["lepcat"] = True
         elif arg == "overwrite":
             opts["overwrite"] = True
-        elif arg in ("-unjailed", "-preload", "-decode", "-encode",
+        elif arg == "-unjailed":
+            opts["unjailed"] = True
+        elif arg in ("-preload", "-decode", "-encode",
                      "-recode", "-unkillable"):
             pass  # accepted for compatibility
+        elif arg.startswith("-injectsyscall="):
+            opts["injectsyscall"] = int(arg.split("=", 1)[1])
         elif arg.startswith("-maxencodethreads="):
             opts["max_threads"] = int(arg.split("=", 1)[1])
         elif arg.startswith("-minencodethreads="):
@@ -158,37 +165,110 @@ def main(argv=None) -> int:
     if opts["lepcat"]:
         return _lepcat(files)
 
+    from .util.exitcodes import ExitCode, classify
+
     # stdin/stdout when no files given
     if not files:
         data = sys.stdin.buffer.read()
-        out, _ = _process(data, opts)
+        try:
+            out, _ = _process(data, opts)
+        except SystemExit:
+            raise
+        except BaseException as e:  # zero-byte output contract
+            if opts["verbosity"] > 0:
+                _err(f"{type(e).__name__}: {e}")
+            return int(classify(e))
         sys.stdout.buffer.write(out)
         return 0
 
     infile = files[0]
-    data = open(infile, "rb").read() if infile != "-" else \
-        sys.stdin.buffer.read()
-    out, kind = _process(data, opts)
+    try:
+        data = open(infile, "rb").read() if infile != "-" else \
+            sys.stdin.buffer.read()
+    except SystemExit:
+        raise
+    except BaseException as e:
+        if opts["verbosity"] > 0:
+            _err(f"{type(e).__name__}: {e}")
+        return int(classify(e))
+
+    # output filename from the *input* type so the fd can be opened
+    # before jailing (jpgcoder.cc opens fds, then jails, :1766)
+    in_kind = sniff(data)
+    if opts.get("embedding"):
+        in_kind = "jpeg"
+    encode_side = in_kind == "jpeg" or \
+        (in_kind == "unknown" and opts["permissive"])
     if len(files) > 1:
         outfile = files[1]
     else:
-        if kind == "jpeg":
-            outfile = _swap_ext(infile, ".lep")
+        outfile = _swap_ext(infile, ".lep" if encode_side else ".jpg")
+    out_f = sys.stdout.buffer if outfile == "-" else open(outfile, "wb")
+
+    if not opts.get("unjailed"):
+        _prepare_for_jail(opts)
+        from .util.sandbox import install_jail
+        install_jail()
+    if opts.get("injectsyscall") in (1, 3):
+        # banned syscall from the main thread before the transcode;
+        # under the jail the process dies with SIGSYS
+        from .util.sandbox import inject_syscall
+        inject_syscall()
+    elif opts.get("injectsyscall") in (2, 4):
+        from . import _native
+        if encode_side:
+            _native.inject_on_encode = True
         else:
-            outfile = _swap_ext(infile, ".jpg")
-    if outfile == "-":
-        sys.stdout.buffer.write(out)
-    else:
-        if os.path.exists(outfile) and not opts["overwrite"] and \
-                len(files) > 1 and False:
-            _err(f"output file {outfile} exists")
-            return 1
-        with open(outfile, "wb") as f:
-            f.write(out)
+            _native.inject_on_decode = True
+
+    try:
+        out, kind = _process(data, opts)
+    except SystemExit:
+        raise
+    except BaseException as e:  # zero-byte output contract (README:62-64)
+        if opts["verbosity"] > 0:
+            _err(f"{type(e).__name__}: {e}")
+        return int(classify(e))
+    out_f.write(out)
+    if out_f is not sys.stdout.buffer:
+        out_f.close()
     if opts["verbosity"] > 0 and kind == "jpeg":
         _err(f"{len(out)} {len(data)}")
         _err(f"{100.0 * len(out) / max(len(data), 1):.2f}%")
     return 0
+
+
+def _prepare_for_jail(opts) -> None:
+    """Pre-import every module and pre-load every shared library the
+    transcode path can touch: inside the jail openat/exec are banned, so
+    all code and data must be resident first (the reference preallocates
+    memory and spawns workers before installing seccomp)."""
+    import concurrent.futures            # noqa: F401
+    import zlib                          # noqa: F401
+    from . import api                    # noqa: F401
+    from . import _native
+    from .container import brotli_ffi    # noqa: F401
+    from .jpeg import (bitio, decoder, huffman, imageinfo, parser,  # noqa
+                       progressive, recode_progressive, recoder)
+    from .util import membound           # noqa: F401
+    try:
+        _native.get_lib()                # compile+dlopen before the jail
+    except Exception:
+        pass
+    try:
+        brotli_ffi._load()               # dlopen libbrotli if present
+    except Exception:
+        pass
+    # warm the whole codec with a tiny in-memory roundtrip: one-time lazy
+    # initialization (extension-internal opens) must happen pre-jail, the
+    # same way the reference preallocates and spawns workers before
+    # installing seccomp (jpgcoder.cc:888, :1766)
+    try:
+        tiny = b"\xff\xd8" + api._BASIC_HEADER + b"\xff\xd9"
+        api.decompress(api.compress(tiny))
+        api.generic_compress(b"x")
+    except Exception:
+        pass
 
 
 def _swap_ext(path: str, ext: str) -> str:
@@ -251,7 +331,7 @@ def _process(data: bytes, opts) -> tuple:
                                       hdr.original_size,
                                       opts["recodememory"]):
                 _err("decompression memory bound exceeded")
-                sys.exit(37)
+                sys.exit(38)  # ExitCode::TOO_MUCH_MEMORY_NEEDED
         return decompress_all(data), "lepton"
     if opts["permissive"]:
         from .api import generic_compress

@@ -16,6 +16,14 @@ import zlib
 
 
 def _handle(conn: socket.socket, opts, zlib_wrap: bool) -> None:
+    # jail the per-connection child before touching request bytes: only
+    # the already-open connection fd is reachable afterwards
+    # (socket_serve.cc children run inside seccomp the same way)
+    if not opts.get("unjailed"):
+        from .cli import _prepare_for_jail
+        from .util.sandbox import install_jail
+        _prepare_for_jail(opts)
+        install_jail()
     chunks = []
     while True:
         b = conn.recv(65536)

@@ -40,3 +40,26 @@ def no_new_privs() -> bool:
         return libc.prctl(PR_SET_NO_NEW_PRIVS, 1, 0, 0, 0) == 0
     except Exception:
         return False
+
+
+def install_jail() -> bool:
+    """seccomp-BPF allow-list jail (leptonc.c lepton_install_jail; the
+    reference's Seccomp.cc:67-138 equivalent).  Irreversible: after this the
+    process can compute and pump already-open fds but cannot open files,
+    exec, fork processes, or touch the network.  Banned syscalls KILL the
+    process (SIGSYS), matching the reference's strict-mode contract."""
+    import os
+    try:
+        from .._native import get_lib
+        lib = get_lib()
+        if os.environ.get("LEPTON_JAIL_MODE") == "trap":
+            return lib.lepton_install_jail_trap() == 0
+        return lib.lepton_install_jail() == 0
+    except Exception:
+        return False
+
+
+def inject_syscall() -> int:
+    """Issue a jail-banned syscall (fault injection, -injectsyscall=)."""
+    from .._native import get_lib
+    return int(get_lib().lepton_inject_syscall())

@@ -1,0 +1,94 @@
+"""Sandbox (seccomp-BPF jail) + exit-code contract tests.
+
+Mirrors the reference's security test strategy (Makefile.am:261-275:
+INJECT_SYSCALL variants must die under the jail; exit codes from
+memory.hh:13-40; zero-byte output on failure, README.md:62-64).
+"""
+import os
+import signal
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEPTON = os.path.join(REPO, "lepton")
+IMAGES = "/root/reference/images"
+
+
+def _run(args, **kw):
+    env = dict(os.environ)
+    env.pop("LEPTON_JAIL_MODE", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run([LEPTON] + args, capture_output=True, env=env,
+                          timeout=300, **kw)
+
+
+def _jail_supported():
+    sys.path.insert(0, REPO)
+    from lepton_tpu._native import get_lib
+    return bool(get_lib().lepton_jail_supported())
+
+
+jail = pytest.mark.skipif(not _jail_supported(),
+                          reason="seccomp jail unsupported on this arch")
+
+
+@jail
+def test_jailed_roundtrip(tmp_path):
+    src = os.path.join(IMAGES, "nofsync.jpg")
+    lep = str(tmp_path / "x.lep")
+    jpg = str(tmp_path / "x.jpg")
+    assert _run([src, lep]).returncode == 0
+    assert _run([lep, jpg]).returncode == 0
+    assert open(jpg, "rb").read() == open(src, "rb").read()
+
+
+@jail
+@pytest.mark.parametrize("point", [1, 2, 3, 4])
+def test_injectsyscall_killed(tmp_path, point):
+    """A banned syscall from main thread or worker must kill the process
+    with SIGSYS (jpgcoder.cc:1324 test_syscall_injection)."""
+    src = os.path.join(IMAGES, "nofsync.jpg")
+    lep = str(tmp_path / "x.lep")
+    if point in (3, 4):
+        assert _run([src, lep]).returncode == 0
+        r = _run([f"-injectsyscall={point}", lep, str(tmp_path / "x.jpg")])
+    else:
+        r = _run([f"-injectsyscall={point}", src, lep])
+    assert r.returncode == -signal.SIGSYS or r.returncode == 159
+    if point in (1, 2):
+        # zero-byte output contract holds even on SIGSYS death
+        assert os.path.getsize(lep) == 0
+
+
+@jail
+def test_injectsyscall_survives_unjailed(tmp_path):
+    src = os.path.join(IMAGES, "nofsync.jpg")
+    r = _run(["-unjailed", "-injectsyscall=1", src, str(tmp_path / "x.lep")])
+    assert r.returncode == 0
+
+
+def test_exit_code_parity(tmp_path):
+    """Exit codes match the reference vocabulary (memory.hh:13-40)."""
+    out = str(tmp_path / "o.lep")
+    cases = [
+        (["/nonexistent/in.jpg", out], 9),                       # FILE_NOT_FOUND
+        ([os.path.join(IMAGES, "arithmetic.jpg"), out], 42),     # UNSUPPORTED_JPEG
+        (["-rejectprogressive",
+          os.path.join(IMAGES, "iphoneprogressive.jpg"), out], 8),
+    ]
+    for args, code in cases:
+        r = _run(args)
+        assert r.returncode == code, (args, r.returncode, r.stderr)
+        assert not os.path.exists(out) or os.path.getsize(out) == 0
+        if os.path.exists(out):
+            os.unlink(out)
+
+
+def test_memory_bound_exit_code(tmp_path):
+    src = os.path.join(IMAGES, "nofsync.jpg")
+    lep = str(tmp_path / "m.lep")
+    assert _run([src, lep]).returncode == 0
+    r = _run(["-recodememory=1k", lep, str(tmp_path / "m.jpg")])
+    assert r.returncode == 38  # TOO_MUCH_MEMORY_NEEDED
