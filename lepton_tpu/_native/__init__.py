@@ -95,7 +95,9 @@ class NativeImage:
     """Prepared ctypes arguments for one image's planes + color tables."""
 
     def __init__(self, planes: List[np.ndarray], qtables_raster, mcuv: int,
-                 max_coded_heights, comp_sizes):
+                 max_coded_heights, comp_sizes, heights=None):
+        # `heights` overrides the logical component heights when `planes`
+        # are ring-sized sliding windows (streaming decode)
         lib = get_lib()
         self.lib = lib
         self.planes = [np.ascontiguousarray(p, dtype=np.int16)
@@ -105,7 +107,9 @@ class NativeImage:
             p.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
             for p in self.planes])
         self.widths = (ctypes.c_int32 * n)(*[p.shape[1] for p in self.planes])
-        self.heights = (ctypes.c_int32 * n)(*[p.shape[0] for p in self.planes])
+        if heights is None:
+            heights = [p.shape[0] for p in self.planes]
+        self.heights = (ctypes.c_int32 * n)(*heights)
         self.comp_sizes = (ctypes.c_int32 * n)(*comp_sizes)
         self.max_heights = (ctypes.c_int32 * n)(*max_coded_heights)
         self.ncomp = n
@@ -164,7 +168,7 @@ class NativeImage:
 
 class _HScan(ctypes.Structure):
     _fields_ = [
-        ("comps", (ctypes.c_int32 * 10) * 4),
+        ("comps", (ctypes.c_int32 * 11) * 4),
         ("ncomp", ctypes.c_int),
         ("cs_cmpc", ctypes.c_int),
         ("cs_cmp", ctypes.c_int * 4),
@@ -175,7 +179,7 @@ class _HScan(ctypes.Structure):
     ]
 
 
-def build_hscan(info) -> "_HScan":
+def build_hscan(info, row_masks=None) -> "_HScan":
     sc = _HScan()
     sc.ncomp = info.cmpc
     sc.cs_cmpc = info.scan.cs_cmpc
@@ -187,8 +191,9 @@ def build_hscan(info) -> "_HScan":
     sc.mcuc = info.mcuc
     for c in range(info.cmpc):
         ci = info.cmpnfo[c]
+        mask = row_masks[c] if row_masks else 0x7fffffff
         vals = [ci.bch, ci.bcv, ci.bc, ci.nch, ci.ncv, ci.mbs,
-                ci.sfv, ci.sfh, ci.huffdc, ci.huffac]
+                ci.sfv, ci.sfh, ci.huffdc, ci.huffac, mask]
         for j, v in enumerate(vals):
             sc.comps[c][j] = v
     return sc
@@ -386,3 +391,53 @@ def native_recode_any_scan(info, planes, jpegtype: int, padbit: int,
     if nbytes < 0:
         raise RuntimeError("native progressive recode failed")
     return out[:nbytes].tobytes(), rstp[:n_rstp.value].tolist()
+
+
+# ---------------------------------------------------------------------------
+# Streaming (O(width)-memory) decode bridge
+# ---------------------------------------------------------------------------
+
+class StreamDecoder:
+    """Resumable per-segment token decoder over ring-indexed planes
+    (reference 2-row memory-optimized decode, block_based_image.hh:52-121).
+
+    The caller owns `planes` (ring-sized) and the compressed `data` bytes;
+    both must stay alive for the decoder's lifetime."""
+
+    def __init__(self, img: "NativeImage", row_masks, min_y: int, max_y: int,
+                 is_last: bool, data: bytes):
+        lib = get_lib()
+        lib.lepton_stream_decoder_create.restype = ctypes.c_void_p
+        self._destroy = lib.lepton_stream_decoder_destroy
+        self._run = lib.lepton_stream_decoder_run
+        self._run.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        self._data = np.frombuffer(data, dtype=np.uint8)  # keep alive
+        masks = np.asarray(list(row_masks) + [0x7FFFFFFF] * 3,
+                           dtype=np.int32)[:3]
+        self._handle = lib.lepton_stream_decoder_create(
+            img.plane_ptrs, img.widths, img.heights, img.comp_sizes,
+            img.max_heights, img.ncomp, img.mcuv, img.color_ptrs,
+            masks.ctypes.data_as(ctypes.c_void_p),
+            min_y, max_y, int(is_last),
+            self._data.ctypes.data_as(ctypes.c_void_p), len(data))
+        if not self._handle:
+            raise MemoryError("stream decoder alloc failed")
+
+    def run(self, until_luma_y: int) -> int:
+        """0 = paused at until_luma_y, 1 = segment complete, raises on
+        corrupt streams (STREAM_INCONSISTENT)."""
+        r = self._run(self._handle, until_luma_y)
+        if r < 0:
+            raise RuntimeError("native decode: stream inconsistent")
+        return r
+
+    def close(self) -> None:
+        if self._handle:
+            self._destroy(ctypes.c_void_p(self._handle))
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

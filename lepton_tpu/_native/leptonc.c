@@ -1022,6 +1022,10 @@ typedef struct {
     int32_t max_coded_heights[3];
     int ncomp, mcuv;
     const ColorTables *colors[3];
+    /* plane row indexing mask: 0x7fffffff = full framebuffer; small
+       power-of-two-minus-1 = sliding-window ring (the reference's 2-row
+       memory-optimized mode, block_based_image.hh:52-121 off_y) */
+    int32_t row_mask[3];
 } Image;
 
 typedef struct {
@@ -1079,8 +1083,10 @@ static void process_row(const Image *im, SegState *st, Coder *c, int comp,
     st->is_top_row[comp] = 0;
     Summary *cur = st->rings[comp] + (y & 1) * w;
     Summary *abv = st->rings[comp] + (1 - (y & 1)) * w;
-    int16_t *row = im->planes[comp] + (size_t)y * w * 64;
-    int16_t *above_row = top ? NULL : im->planes[comp] + (size_t)(y - 1) * w * 64;
+    int32_t rmask = im->row_mask[comp];
+    int16_t *row = im->planes[comp] + (size_t)(y & rmask) * w * 64;
+    int16_t *above_row = top ? NULL
+        : im->planes[comp] + (size_t)((y - 1) & rmask) * w * 64;
     int size_limit = im->comp_sizes[comp];
     int base = y * w;
     for (int x = 0; x < w; ++x) {
@@ -1145,6 +1151,7 @@ EXPORT int64_t lepton_encode_segment(
         im.comp_sizes[i] = i < ncomp ? comp_sizes[i] : 0;
         im.max_coded_heights[i] = i < ncomp ? max_coded_heights[i] : 0;
         im.colors[i] = i < ncomp ? colors[i] : NULL;
+        im.row_mask[i] = 0x7fffffff;
     }
     VpxWriter w;
     vpxw_init(&w, out, (size_t)out_cap);
@@ -1173,11 +1180,88 @@ EXPORT int lepton_decode_segment(
         im.comp_sizes[i] = i < ncomp ? comp_sizes[i] : 0;
         im.max_coded_heights[i] = i < ncomp ? max_coded_heights[i] : 0;
         im.colors[i] = i < ncomp ? colors[i] : NULL;
+        im.row_mask[i] = 0x7fffffff;
     }
     VpxReader r;
     vpxr_init(&r, data, (size_t)len);
     Coder c = { arena, NULL, &r, NULL, NULL, 0, 0 };
     return run_segment(&im, &c, min_y, max_y, is_last, 0);
+}
+
+/* ------------------------------------------------------------------ */
+/* Resumable streaming segment decoder (the reference's memory-        */
+/* optimized 2-row decode, uncompressed_components.hh:90-108 +         */
+/* block_based_image.hh off_y recycling): rows are decoded on demand   */
+/* into ring-indexed planes and handed to the recoder MCU row by MCU   */
+/* row, keeping decode memory O(width), not O(image).                  */
+
+typedef struct {
+    Image im;
+    SegState st;
+    VpxReader r;
+    Coder c;
+    uint8_t *arena;
+    int index;
+    int min_y, max_y, is_last;
+    int err, done;
+} StreamDecoder;
+
+EXPORT StreamDecoder *lepton_stream_decoder_create(
+    int16_t **planes, const int32_t *widths, const int32_t *heights,
+    const int32_t *comp_sizes, const int32_t *max_coded_heights, int ncomp,
+    int mcuv, const ColorTables *const *colors, const int32_t *row_masks,
+    int min_y, int max_y, int is_last, const uint8_t *data, int64_t len) {
+    StreamDecoder *sd = (StreamDecoder *)calloc(1, sizeof(StreamDecoder));
+    if (!sd) return NULL;
+    sd->im.ncomp = ncomp;
+    sd->im.mcuv = mcuv;
+    for (int i = 0; i < 3; ++i) {
+        sd->im.planes[i] = i < ncomp ? planes[i] : NULL;
+        sd->im.widths[i] = i < ncomp ? widths[i] : 0;
+        sd->im.heights[i] = i < ncomp ? heights[i] : 0;
+        sd->im.comp_sizes[i] = i < ncomp ? comp_sizes[i] : 0;
+        sd->im.max_coded_heights[i] = i < ncomp ? max_coded_heights[i] : 0;
+        sd->im.colors[i] = i < ncomp ? colors[i] : NULL;
+        sd->im.row_mask[i] = i < ncomp ? row_masks[i] : 0x7fffffff;
+        sd->st.is_top_row[i] = 1;
+        int w = i < ncomp ? widths[i] : 0;
+        sd->st.rings[i] = w ? (Summary *)calloc(2 * (size_t)w,
+                                                sizeof(Summary)) : NULL;
+    }
+    sd->arena = (uint8_t *)malloc((size_t)ARENA_SIZE * 3);
+    if (!sd->arena) { free(sd); return NULL; }
+    memcpy(sd->arena, identity_arena_template, ARENA_SIZE * 3);
+    sd->st.arena = sd->arena;
+    vpxr_init(&sd->r, data, (size_t)len);
+    sd->c.arena = sd->arena;
+    sd->c.r = &sd->r;
+    sd->min_y = min_y; sd->max_y = max_y; sd->is_last = is_last;
+    return sd;
+}
+
+/* decode rows until the next spec's luma row reaches until_luma_y.
+ * returns 0 = paused, 1 = segment complete, <0 = stream error */
+EXPORT int lepton_stream_decoder_run(StreamDecoder *sd, int until_luma_y) {
+    while (!sd->err) {
+        RowSpec spec = row_spec_from_index(sd->index, &sd->im);
+        if (spec.done) { sd->done = 1; break; }
+        if (spec.luma_y >= sd->max_y && !sd->is_last) { sd->done = 1; break; }
+        if (spec.luma_y >= until_luma_y) return 0;
+        ++sd->index;
+        if (spec.skip) continue;
+        if (spec.luma_y < sd->min_y) continue;
+        process_row(&sd->im, &sd->st, &sd->c, spec.component, spec.curr_y,
+                    0, &sd->err);
+    }
+    if (sd->err) return -1;
+    return 1;
+}
+
+EXPORT void lepton_stream_decoder_destroy(StreamDecoder *sd) {
+    if (!sd) return;
+    for (int i = 0; i < 3; ++i) free(sd->st.rings[i]);
+    free(sd->arena);
+    free(sd);
 }
 
 /* ================================================================== */
@@ -1329,6 +1413,7 @@ static inline int devli(int s, uint32_t n) {
 typedef struct {
     int32_t bch, bcv, bc, nch, ncv, mbs, sfv, sfh;
     int32_t huffdc, huffac;
+    int32_t row_mask;   /* plane ring mask; 0x7fffffff = full framebuffer */
 } HComp;
 
 typedef struct {
@@ -1648,7 +1733,7 @@ EXPORT int64_t lepton_recode_rows(
                 const HComp *ci = &sc->comps[cmp];
                 int y = dpos / ci->bch, x = dpos % ci->bch;
                 const int16_t *raster = planes[cmp] +
-                    ((size_t)y * ci->bch + x) * 64;
+                    ((size_t)(y & ci->row_mask) * ci->bch + x) * 64;
                 for (int zpos = 0; zpos < 64; ++zpos)
                     zb[zpos] = raster[ZIGZAG_TO_RASTER[zpos]];
                 int dc = zb[0];
@@ -1723,6 +1808,7 @@ EXPORT int64_t lepton_symbolize_segment(
         im.comp_sizes[i] = i < ncomp ? comp_sizes[i] : 0;
         im.max_coded_heights[i] = i < ncomp ? max_coded_heights[i] : 0;
         im.colors[i] = i < ncomp ? colors[i] : NULL;
+        im.row_mask[i] = 0x7fffffff;
     }
     Coder c = { arena, NULL, NULL, sym_idx, sym_bit, 0, sym_cap };
     int err = run_segment(&im, &c, min_y, max_y, is_last, 1);
@@ -1773,7 +1859,11 @@ static int h_skip_eobrun(const HScan *sc, int cmp, int *dpos, int *rstw,
 static inline int16_t *block_at(int16_t **planes, const HScan *sc, int cmp,
                                 int dpos) {
     const HComp *ci = &sc->comps[cmp];
-    return planes[cmp] + (size_t)dpos * 64;
+    if (ci->row_mask == 0x7fffffff)
+        return planes[cmp] + (size_t)dpos * 64;
+    int row = dpos / ci->bch, col = dpos - row * ci->bch;
+    return planes[cmp]
+        + ((size_t)(row & ci->row_mask) * ci->bch + col) * 64;
 }
 
 /* Decode one progressive scan (all restart intervals).

@@ -344,6 +344,107 @@ def _container_end(data: bytes, pos: int) -> int:
     raise LeptonError("cannot find container boundary")
 
 
+def decompress_streaming(lep_data: bytes) -> bytes:
+    """O(width)-memory decode: token-decode and Huffman re-emit alternate
+    MCU row by MCU row over ring-indexed planes (the reference's 2-row
+    memory-optimized decode, uncompressed_components.hh:90-108 +
+    block_based_image.hh:52-121).  Byte-identical to decompress(); falls
+    back to it for progressive / ANS / truncated containers."""
+    hdr, mux_region = read_container(lep_data)
+    info = image_info_from_header(hdr.hdrdata)
+    if hdr.version == 3 or hdr.mode != ord("Z") or hdr.early_eof:
+        return decompress(lep_data)
+    try:
+        from . import _native
+        if not _native.available():
+            return decompress(lep_data)
+    except Exception:
+        return decompress(lep_data)
+    max_heights, comp_sizes = _truncation_geometry(info, hdr)
+
+    handoffs = hdr.handoffs
+    if not handoffs:
+        # legacy file (no 'H' record): mark byte + LE16 splits precede the
+        # mux data (vp8_decoder.cc:337-363)
+        mark = mux_region[0]
+        if mark == 0:
+            raise LeptonError("legacy file with zero threads")
+        splits = [int.from_bytes(mux_region[1 + 2 * i:3 + 2 * i], "little")
+                  for i in range(mark - 1)]
+        mux_region = mux_region[1 + 2 * (mark - 1):]
+        bounds = [0] + splits + [info.cmpnfo[0].bcv]
+        handoffs = [
+            ThreadHandoff(luma_y_start=bounds[i], luma_y_end=bounds[i + 1],
+                          num_overhang_bits=ThreadHandoff.LEGACY_OVERHANG_BITS)
+            for i in range(mark)]
+    if handoffs:
+        handoffs[-1].luma_y_end = info.cmpnfo[0].bcv
+
+    mcuv = info.mcuv
+    cm0 = info.cmpnfo[0].bcv // mcuv if mcuv else 1
+    if cm0 == 0:
+        return decompress(lep_data)
+    planes = []
+    masks = []
+    for c in range(info.cmpc):
+        ci = info.cmpnfo[c]
+        cm = max(1, ci.bcv // mcuv) if mcuv else 1
+        rr = 1
+        while rr < cm + 1:
+            rr <<= 1
+        planes.append(np.zeros((rr, ci.bch, 64), dtype=np.int16))
+        masks.append(rr - 1)
+    from .constants import RASTER_TO_ZIGZAG
+    qtables_raster = [
+        np.asarray(info.qtables[info.cmpnfo[c].qtable_index])[
+            RASTER_TO_ZIGZAG] for c in range(info.cmpc)]
+    native = _native.NativeImage(
+        planes, qtables_raster, mcuv, max_heights, comp_sizes,
+        heights=[info.cmpnfo[c].bcv for c in range(info.cmpc)])
+
+    demux = MuxReader(mux_region)
+    seg_bounds = []
+    for i, th in enumerate(handoffs):
+        is_last = i == len(handoffs) - 1
+        end_y = handoffs[i + 1].luma_y_start if not is_last else \
+            info.cmpnfo[0].bcv
+        seg_bounds.append((th.luma_y_start, end_y, is_last))
+
+    state = {"seg": -1, "dec": None}
+
+    def ensure_decoded(mcu_row: int) -> None:
+        until = (mcu_row + 1) * cm0
+        while True:
+            if state["dec"] is None:
+                state["seg"] += 1
+                s_i = state["seg"]
+                if s_i >= len(seg_bounds):
+                    return
+                start_y, end_y, is_last = seg_bounds[s_i]
+                state["dec"] = _native.StreamDecoder(
+                    native, masks, start_y, end_y, is_last,
+                    bytes(demux.buffers[s_i]))
+            start_y, end_y, is_last = seg_bounds[state["seg"]]
+            r = state["dec"].run(until)
+            if r == 1 and until > end_y and not is_last:
+                state["dec"].close()
+                state["dec"] = None
+                continue
+            return
+
+    from .jpeg.recoder import recode_baseline_jpeg_streaming
+    info2 = image_info_from_header(hdr.hdrdata)
+    try:
+        return recode_baseline_jpeg_streaming(
+            hdr.hdrdata, planes, masks, ensure_decoded, handoffs, info2,
+            hdr.padbit, hdr.rst_cnt, hdr.rst_cnt_set, hdr.rst_err,
+            hdr.garbage, hdr.original_size, hdr.prefix_garbage,
+            hdr.embedded_jpeg)
+    finally:
+        if state["dec"] is not None:
+            state["dec"].close()
+
+
 def decompress_all(data: bytes) -> bytes:
     """Decode a (possibly concatenated) stream of .lep containers."""
     out = bytearray()

@@ -323,7 +323,8 @@ def _process(data: bytes, opts) -> tuple:
         return zlib0_wrap(decompress_all(data)), "lepton"
     if kind == "lepton":
         if opts.get("recodememory"):
-            from .api import read_container, image_info_from_header
+            from .api import (decompress_streaming, read_container,
+                              image_info_from_header)
             from .util.membound import check_memory_bound
             hdr, _ = read_container(data)
             info = image_info_from_header(hdr.hdrdata)
@@ -332,6 +333,8 @@ def _process(data: bytes, opts) -> tuple:
                                       opts["recodememory"]):
                 _err("decompression memory bound exceeded")
                 sys.exit(38)  # ExitCode::TOO_MUCH_MEMORY_NEEDED
+            # honor the declared bound with the O(width) streaming decode
+            return decompress_streaming(data), "lepton"
         return decompress_all(data), "lepton"
     if opts["permissive"]:
         from .api import generic_compress

@@ -133,3 +133,44 @@ def test_ans_coder_unit():
     for b in bits:
         assert r.get_bit(state[2]) == b
         state = adv_update_branch(state[0], state[1], True if b else False)
+
+
+def test_streaming_decode_byte_identical(ref_images):
+    """O(width) streaming decode (api.decompress_streaming) must produce
+    the same JPEG bytes as the full-framebuffer path, including on
+    reference-produced multi-segment and legacy containers."""
+    import os
+    from lepton_tpu.api import compress, decompress, decompress_streaming
+    for name in ("android.jpg", "iphonecrop.jpg", "gray2sf.jpg",
+                 "narrowrst.jpg", "trailingrst.jpg"):
+        data = open(os.path.join(ref_images, name), "rb").read()
+        lep = compress(data)
+        assert decompress_streaming(lep) == decompress(lep) == data, name
+    for f in ("gold-legacy.lep", "iphone16.lep", "narrowrst.lep"):
+        lep = open(os.path.join(ref_images, f), "rb").read()
+        assert decompress_streaming(lep) == decompress(lep), f
+
+
+def test_recodememory_streaming_bound(tmp_path, ref_images):
+    """A bound big enough for the streaming decode but far below the full
+    framebuffer must pass and decode bit-exactly (the -recodememory
+    contract, jpgcoder.cc:1236-1330)."""
+    import os
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lepton = os.path.join(repo, "lepton")
+    src = os.path.join(ref_images, "slrhills.jpg")
+    lep = str(tmp_path / "s.lep")
+    jpg = str(tmp_path / "s.jpg")
+    assert subprocess.run([lepton, src, lep], capture_output=True,
+                          timeout=600).returncode == 0
+    r = subprocess.run([lepton, "-recodememory=24M", lep, jpg],
+                       capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert open(jpg, "rb").read() == open(src, "rb").read()
+    # full-framebuffer would need ~64M of planes alone; 2M must refuse
+    r = subprocess.run([lepton, "-recodememory=2M", lep,
+                        str(tmp_path / "t.jpg")], capture_output=True,
+                       timeout=600)
+    assert r.returncode == 38
