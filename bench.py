@@ -10,9 +10,9 @@ Prints ONE JSON line:
   prediction) throughput on the largest corpus image, reported as a
   sub-metric.
 
-vs_baseline compares against the reference lepton binary's single-core
-throughput measured on the build host (BASELINE.md: ~5.6 MB/s roundtrip
-aggregate on this corpus); the reference publishes no absolute numbers.
+vs_baseline divides by the reference binary's measured roundtrip aggregate
+on this host (BASELINE.md: 4.45 MB/s); the reference publishes no absolute
+numbers upstream.
 """
 import json
 import os
@@ -129,9 +129,62 @@ def bench_tpu_phase_a():
         return dict(error=repr(e)[:200])
 
 
+def bench_tpu_phase_b():
+    """Lane-parallel adaptive coder (kernels/vpx_scan): symbols/s with one
+    segment per lane.  Honest submetric: adaptive binary coding is
+    latency-bound per scan step, so TPU value concentrates in phase A;
+    phase B is bit-exact (verified vs the C coder) but serves as the
+    batched-lane design point, not the production path."""
+    try:
+        import jax
+        import numpy as np
+        from lepton_tpu import _native
+        from lepton_tpu.kernels import vpx_scan
+        from lepton_tpu.jpeg.parser import parse_jpeg
+        from lepton_tpu.jpeg.imageinfo import image_info_from_header
+        from lepton_tpu.jpeg.decoder import decode_scans
+        from lepton_tpu.api import _truncation_geometry, _native_image
+
+        path = os.path.join(IMAGES_DIR, "androidcrop.jpg")
+        data = open(path, "rb").read()
+        parsed = parse_jpeg(data)
+        info = image_info_from_header(parsed.hdrdata)
+        dec = decode_scans(parsed, info)
+        mh, cs = _truncation_geometry(info, dec)
+        img = _native_image(info, dec.planes, mh, cs)
+        bcv = info.cmpnfo[0].bcv
+        nseg = min(64, bcv)
+        bounds = [bcv * i // nseg for i in range(nseg + 1)]
+        segs = [_native.native_symbolize_segment(
+            img, bounds[i], bounds[i + 1], i == nseg - 1)
+            for i in range(nseg)]
+        total = sum(len(i) for i, _ in segs)
+        idxs, bits = vpx_scan.build_symbol_streams(segs)
+        ij, bj = jax.device_put(idxs), jax.device_put(bits)
+        out = vpx_scan.encode_streams(ij, bj)
+        jax.block_until_ready(out)           # compile
+        b2 = np.asarray(bits).copy()
+        b2[0, 1] ^= 1                        # new value: defeat arg caching
+        bj2 = jax.device_put(b2)
+        t0 = time.perf_counter()
+        out = vpx_scan.encode_streams(ij, bj2)
+        import numpy as _np
+        _np.asarray(out[3])
+        dt = time.perf_counter() - t0
+        return dict(
+            backend=jax.devices()[0].platform,
+            segments=nseg,
+            symbols=int(total),
+            phase_b_msym_per_s=round(total / dt / 1e6, 2),
+        )
+    except Exception as e:
+        return dict(error=repr(e)[:200])
+
+
 def main():
     host = bench_host()
     tpu = bench_tpu_phase_a()
+    tpu_b = bench_tpu_phase_b()
     value = host["roundtrip_mbps"]
     result = {
         "metric": "corpus encode+decode roundtrip throughput (bit-exact)",
@@ -140,6 +193,7 @@ def main():
         "vs_baseline": round(value / REFERENCE_ROUNDTRIP_MBPS, 3),
         "host": host,
         "tpu_phase_a": tpu,
+        "tpu_phase_b": tpu_b,
     }
     print(json.dumps(result))
 
