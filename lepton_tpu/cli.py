@@ -117,8 +117,18 @@ def main(argv=None) -> int:
         elif arg.startswith("-memory="):
             from .util.sandbox import apply_memory_limit
             apply_memory_limit(_parse_size(arg.split("=", 1)[1]))
-        elif arg.startswith("-threadmemory=") or arg.startswith("-timebound="):
-            pass  # per-thread arenas are per-call; timebound handled by serve
+        elif arg.startswith("-threadmemory="):
+            pass  # per-thread arenas are allocated per call
+        elif arg.startswith("-timebound="):
+            # milliseconds; serve children install a SIGALRM timer
+            # (jpgcoder.cc:1744-1760 setitimer)
+            v = arg.split("=", 1)[1]
+            if v.endswith("ms"):
+                opts["timebound_ms"] = int(v[:-2])
+            elif v.endswith("s"):
+                opts["timebound_ms"] = int(float(v[:-1]) * 1000)
+            else:
+                opts["timebound_ms"] = int(v)
         elif arg == "-jailed":
             from .util.sandbox import no_new_privs
             no_new_privs()

@@ -16,6 +16,12 @@ import zlib
 
 
 def _handle(conn: socket.socket, opts, zlib_wrap: bool) -> None:
+    if opts.get("timebound_ms"):
+        # kill this child if the request exceeds its time budget
+        # (socket_serve children arm setitimer, jpgcoder.cc:1744-1760)
+        import signal as _signal
+        _signal.setitimer(_signal.ITIMER_REAL,
+                          opts["timebound_ms"] / 1000.0)
     # jail the per-connection child before touching request bytes: only
     # the already-open connection fd is reachable afterwards
     # (socket_serve.cc children run inside seccomp the same way)

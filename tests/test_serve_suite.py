@@ -1,0 +1,139 @@
+"""Server + verification-contract tests, mirroring the reference's
+sockettester.py / test_roundtrip.sh / test_trunc.sh."""
+import os
+import signal
+import socket
+import subprocess
+import time
+import zlib
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEPTON = os.path.join(REPO, "lepton")
+IMAGES = "/root/reference/images"
+
+
+def _pump(sock: socket.socket, payload: bytes) -> bytes:
+    sock.sendall(payload)
+    sock.shutdown(socket.SHUT_WR)
+    chunks = []
+    while True:
+        b = sock.recv(65536)
+        if not b:
+            break
+        chunks.append(b)
+    sock.close()
+    return b"".join(chunks)
+
+
+def _wait_listening(check, timeout=60.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            return check()
+        except OSError:
+            time.sleep(0.2)
+    raise TimeoutError("server did not come up")
+
+
+@pytest.fixture
+def server(tmp_path):
+    """lepton serving UDS + TCP + zlib-TCP at once (socket_serve.cc
+    binds all three, :288-310)."""
+    sock_path = str(tmp_path / "lep.sock")
+    import random
+    port = random.randrange(20000, 40000)
+    proc = subprocess.Popen(
+        [LEPTON, f"-socket={sock_path}", f"-listen={port}",
+         f"-zliblisten={port + 1}", "-maxchildren=4"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    def uds():
+        s = socket.socket(socket.AF_UNIX)
+        s.connect(sock_path)
+        return s
+    _wait_listening(uds).close()
+    yield dict(sock=sock_path, port=port, zport=port + 1)
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def test_socket_serve_all_ports(server):
+    data = open(os.path.join(IMAGES, "nofsync.jpg"), "rb").read()
+
+    s = socket.socket(socket.AF_UNIX)
+    s.connect(server["sock"])
+    lep = _pump(s, data)
+    assert lep[:2] == b"\xcf\x84"
+
+    s = socket.create_connection(("127.0.0.1", server["port"]), timeout=60)
+    lep2 = _pump(s, data)
+    assert lep2 == lep
+
+    # zlib port: request and reply both ride zlib streams
+    s = socket.create_connection(("127.0.0.1", server["zport"]), timeout=60)
+    zreply = _pump(s, zlib.compress(data))
+    assert zlib.decompress(zreply) == lep
+
+    # decode back over the UDS port
+    s = socket.socket(socket.AF_UNIX)
+    s.connect(server["sock"])
+    back = _pump(s, lep)
+    assert back == data
+
+
+def test_roundtripfail_contract(tmp_path):
+    """roundtripfail.jpg must fail (zero bytes, nonzero exit) with the
+    default verify gate but encode with -skipverify (test_roundtrip.sh)."""
+    src = os.path.join(IMAGES, "roundtripfail.jpg")
+    out = str(tmp_path / "f.lep")
+    r = subprocess.run([LEPTON, "-verify", src, out], capture_output=True,
+                       timeout=300)
+    assert r.returncode == 41  # ROUNDTRIP_FAILURE
+    assert not os.path.exists(out) or os.path.getsize(out) == 0
+    r = subprocess.run([LEPTON, "-skipverify", src, str(tmp_path / "g.lep")],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0
+    assert os.path.getsize(str(tmp_path / "g.lep")) > 0
+
+
+@pytest.mark.parametrize("frac", [0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
+def test_trunc_points(tmp_path, frac):
+    """-trunc=N encode then decode equals head -c N (test_trunc.sh)."""
+    src = os.path.join(IMAGES, "androidcrop.jpg")
+    data = open(src, "rb").read()
+    n = max(1024, int(len(data) * frac))
+    lep = str(tmp_path / "t.lep")
+    jpg = str(tmp_path / "t.jpg")
+    r = subprocess.run([LEPTON, f"-trunc={n}", "-skipverify", src, lep],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([LEPTON, lep, jpg], capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert open(jpg, "rb").read() == data[:n]
+
+
+def test_timebound_kills_slow_request(tmp_path):
+    """-timebound= must kill a request that exceeds its budget
+    (sockettester.py's 10ms timeout case)."""
+    sock_path = str(tmp_path / "tb.sock")
+    proc = subprocess.Popen(
+        [LEPTON, f"-socket={sock_path}", "-timebound=10ms"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    def uds():
+        s = socket.socket(socket.AF_UNIX)
+        s.connect(sock_path)
+        return s
+    _wait_listening(uds).close()
+    try:
+        data = open(os.path.join(IMAGES, "slrhills.jpg"), "rb").read()
+        s = socket.socket(socket.AF_UNIX)
+        s.connect(sock_path)
+        try:
+            out = _pump(s, data)
+        except BrokenPipeError:
+            out = b""   # child died while we were still uploading
+        assert out == b""   # no reply: the request was killed
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
