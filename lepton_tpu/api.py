@@ -24,6 +24,7 @@ from .jpeg.imageinfo import ImageInfo, image_info_from_header
 from .jpeg.parser import ParsedJpeg, parse_jpeg
 from .jpeg.recoder import recode_baseline_jpeg
 from .model.context import ColorTables
+from .util import timing
 
 
 class LeptonError(Exception):
@@ -117,9 +118,12 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
     if start_byte:
         # a mid-file slice is always re-emitted sequentially (jpgcoder.cc:1205)
         allow_progressive = False
+    timing.mark("TS_READ_FINISHED")
     parsed = parse_jpeg(jpeg_data, embedding=embedding)
     info = image_info_from_header(parsed.hdrdata)
+    timing.mark("TS_JPEG_DECODE_STARTED")
     dec = decode_scans(parsed, info, allow_progressive=allow_progressive)
+    timing.mark("TS_JPEG_DECODE_FINISHED")
 
     row_handoffs = dec.handoffs
     prefix_garbage = None
@@ -164,12 +168,14 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
         end_y = (splits[i + 1].luma_y_start if not is_last
                  else info.cmpnfo[0].bcv)
         jobs.append((th.luma_y_start, end_y, is_last))
+    timing.mark("TS_ARITH_STARTED")
     if native is not None:
         # segments are independent streams; the C calls drop the GIL
         streams = _parallel_map(
             lambda j: native.encode_segment(*j), jobs)
     else:
         streams = [encode_segment(image, *j, ans=ans) for j in jobs]
+    timing.mark("TS_ARITH_FINISHED")
 
     hdr = LeptonHeader()
     hdr.version = version
@@ -194,7 +200,10 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
         hdr.max_bpos = dec.max_bpos
         hdr.max_sah = dec.max_sah
         hdr.max_dpos = dec.max_dpos
-    return write_container(hdr, mux_streams(streams, hdr.version))
+    timing.mark("TS_STREAM_MULTIPLEX_STARTED")
+    out = write_container(hdr, mux_streams(streams, hdr.version))
+    timing.mark("TS_STREAM_MULTIPLEX_FINISHED")
+    return out
 
 
 def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
@@ -241,12 +250,15 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
             info.cmpnfo[0].bcv
         jobs.append((bytes(demux.buffers[i]), th.luma_y_start, end_y,
                      is_last))
+    timing.mark("TS_ARITH_STARTED")
     if native is not None:
         # each segment decodes a disjoint row range of the shared planes
         _parallel_map(lambda j: native.decode_segment(*j), jobs)
     else:
         for j in jobs:
             decode_segment(image, *j, ans=ans)
+    timing.mark("TS_ARITH_FINISHED")
+    timing.mark("TS_JPEG_RECODE_STARTED")
 
     info2 = image_info_from_header(hdr.hdrdata)
     if hdr.mode == ord("X"):
@@ -255,10 +267,12 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
             hdr.hdrdata, planes, info2, hdr.padbit, hdr.rst_cnt,
             hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
             hdr.prefix_garbage, hdr.embedded_jpeg)
-    return recode_baseline_jpeg(
+    out = recode_baseline_jpeg(
         hdr.hdrdata, planes, handoffs, info2, hdr.padbit,
         hdr.rst_cnt, hdr.rst_cnt_set, hdr.rst_err, hdr.garbage,
         hdr.original_size, hdr.prefix_garbage, hdr.embedded_jpeg)
+    timing.mark("TS_JPEG_RECODE_FINISHED")
+    return out
 
 
 # The fake 1x1 grayscale JPEG header used to wrap non-JPEG inputs

@@ -154,6 +154,11 @@ def main(argv=None) -> int:
             max_children = int(arg.split("=", 1)[1])
         elif arg in ("-v0", "-v1", "-v2"):
             opts["verbosity"] = int(arg[2])
+        elif arg.startswith("-timing=") or arg.startswith("-trunctiming="):
+            # append stage timings to a log file (jpgcoder.cc:1078-1086)
+            opts["timing_log"] = arg.split("=", 1)[1]
+            from .util import timing
+            timing.enable(True)
         elif arg == "-benchmark":
             return _benchmark()
         elif arg.startswith("-"):
@@ -245,6 +250,15 @@ def main(argv=None) -> int:
     if opts["verbosity"] > 0 and kind == "jpeg":
         _err(f"{len(out)} {len(data)}")
         _err(f"{100.0 * len(out) / max(len(data), 1):.2f}%")
+    if opts.get("timing_log"):
+        # the log fd cannot be opened inside the jail; write via stderr
+        # when jailed, else append to the named file
+        from .util import timing
+        try:
+            with open(opts["timing_log"], "a") as tf:
+                timing.print_timing(tf)
+        except OSError:
+            timing.print_timing(sys.stderr)
     return 0
 
 
