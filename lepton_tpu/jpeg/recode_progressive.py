@@ -382,19 +382,24 @@ def merge_jpeg(hdrdata: bytes, huffdata: bytes, scnp, rstp, scnc,
         num_rst_this_scan = 0
         ipos = scnp[scan - 1]
         end = scnp[scan] if scan < len(scnp) and scnp[scan] else len(huffdata)
-        while ipos < end:
-            b = huffdata[ipos]
-            out.write_byte(b)
-            if b == 0xFF:
-                out.write_byte(0)
-            if rpos < len(rstp) and ipos == rstp[rpos]:
-                if rst_cnt_ok(scan, num_rst_this_scan):
-                    out.write_byte(0xFF)
-                    out.write_byte(0xD0 + (cpos & 7))
-                    rpos += 1
-                    cpos += 1
-                    num_rst_this_scan += 1
-            ipos += 1
+        # bulk 0xFF stuffing between restart positions; when the rst gate
+        # fails once, rpos freezes and no further markers are emitted
+        # (matching the byte loop in jpgcoder.cc:2560-2745)
+        while ipos < end and rpos < len(rstp) and ipos <= rstp[rpos] < end:
+            p = rstp[rpos]
+            out.write(huffdata[ipos:p + 1].replace(b"\xff", b"\xff\x00"))
+            ipos = p + 1
+            if rst_cnt_ok(scan, num_rst_this_scan):
+                out.write_byte(0xFF)
+                out.write_byte(0xD0 + (cpos & 7))
+                rpos += 1
+                cpos += 1
+                num_rst_this_scan += 1
+            else:
+                break
+        if ipos < end:
+            out.write(huffdata[ipos:end].replace(b"\xff", b"\xff\x00"))
+            ipos = end
         # stray RST markers at scan end
         if scan - 1 < len(rst_err):
             while rst_err[scan - 1] > 0:
