@@ -1464,21 +1464,49 @@ static int h_next_mcuposn(const HScan *sc, int cmp, int *dpos, int *rstw) {
     return 0;
 }
 
+/* fused symbol + extra-bits decode from one 64-bit window; `ac` selects
+ * s = sym & 15 (AC run/size) vs s = sym (DC category) */
+static inline int huff_decode_fused(HBitReader *r, const HuffTable *ht,
+                                    int ac, uint32_t *extra) {
+    int64_t navail = r->nbits - r->pos;
+    if (!r->eof && navail >= 64) {
+        int64_t first = r->pos >> 3;
+        uint64_t be;
+        memcpy(&be, r->data + first, 8);
+        be = __builtin_bswap64(be);
+        uint64_t win = be << (int)(r->pos & 7);
+        uint32_t peek = (uint32_t)(win >> 48);
+        uint32_t entry = ht->lut9[peek >> 7];
+        if (!entry) entry = ht->lut[peek];
+        int ln = (int)(entry & 31);
+        if (ln) {
+            int sym = (int)(entry >> 5);
+            int sbits = ac ? (sym & 15) : sym;
+            *extra = sbits ? (uint32_t)((win << ln) >> (64 - sbits)) : 0;
+            r->pos += ln + sbits;
+            return sym;
+        }
+    }
+    int sym = huff_decode(r, ht);
+    if (sym < 0) { *extra = 0; return sym; }
+    *extra = hbr_read(r, ac ? (sym & 15) : sym);
+    return sym;
+}
+
 static int decode_block_seq_c(HBitReader *r, const HuffTable *dct,
                               const HuffTable *act, int16_t *block) {
     memset(block, 0, 64 * sizeof(int16_t));
-    int hc = huff_decode(r, dct);
+    uint32_t n;
+    int hc = huff_decode_fused(r, dct, 0, &n);
     if (hc < 0) return -1;
     int s = hc;
-    uint32_t n = hbr_read(r, s);
     block[0] = (int16_t)devli(s, n);
     int eob = 64, bpos = 1, eof_fixup = 0;
     while (bpos < 64) {
-        hc = huff_decode(r, act);
+        hc = huff_decode_fused(r, act, 1, &n);
         if (hc > 0) {
             int z = hc >> 4;
             s = hc & 15;
-            n = hbr_read(r, s);
             if (z + bpos >= 64) { eof_fixup = 1; break; }
             bpos += z;
             block[bpos++] = (int16_t)devli(s, n);
@@ -1636,10 +1664,25 @@ static inline void hb_byte(HBound *o, uint8_t b) {
 }
 
 static void hb_escaped(HBound *o, const uint8_t *data, size_t n) {
-    for (size_t i = 0; i < n; ++i) {
-        uint8_t b = data[i];
-        hb_byte(o, b);
-        if (b == 0xFF) hb_byte(o, 0);
+    /* bulk 0xFF stuffing: memchr + memcpy per run (the reference scans
+     * with SIMD, recoder.cc:55-123 find_aligned_end_64) */
+    size_t i = 0;
+    while (i < n) {
+        const uint8_t *ff = (const uint8_t *)memchr(data + i, 0xFF, n - i);
+        size_t run = ff ? (size_t)(ff - (data + i)) : n - i;
+        if (o->pos < o->bound) {
+            size_t space = o->bound - o->pos;
+            size_t take = run < space ? run : space;
+            memcpy(o->out + o->pos, data + i, take);
+            o->pos += take;
+            if (take < run) o->pos = o->bound;  /* clamp, rest dropped */
+        }
+        i += run;
+        if (ff) {
+            hb_byte(o, 0xFF);
+            hb_byte(o, 0);
+            ++i;
+        }
     }
 }
 
