@@ -42,6 +42,10 @@ REFERENCE_ROUNDTRIP_MBPS = 4.45
 
 def bench_host():
     from lepton_tpu.api import compress, decompress
+    # warm-up: exclude one-time costs (imports, .so load, lazy inits)
+    # from the first timed file
+    warm = open(os.path.join(IMAGES_DIR, "nofsync.jpg"), "rb").read()
+    decompress(compress(warm))
     total_bytes = 0
     enc_time = 0.0
     dec_time = 0.0

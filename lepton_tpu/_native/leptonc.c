@@ -1698,9 +1698,22 @@ static inline void hbw_write(HBitWriter *w, uint32_t val, int n) {
     val &= (n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1);
     uint64_t acc = ((uint64_t)w->acc << n) | val;
     int total = w->bits + n;
-    while (total >= 8) {
-        total -= 8;
-        if (w->pos < w->cap) w->buf[w->pos++] = (uint8_t)(acc >> total);
+    int nbytes = total >> 3;
+    if (nbytes) {
+        int rem = total & 7;
+        uint64_t whole = acc >> rem;   /* nbytes whole bytes, low-aligned */
+        if (w->pos + 4 <= w->cap) {
+            /* single BE store (callers' buffers carry >=64K slack) */
+            uint32_t be = __builtin_bswap32(
+                (uint32_t)(whole << (32 - 8 * nbytes)));
+            memcpy(w->buf + w->pos, &be, 4);
+            w->pos += (size_t)nbytes;
+        } else {
+            for (int i = nbytes - 1; i >= 0; --i)
+                if (w->pos < w->cap)
+                    w->buf[w->pos++] = (uint8_t)(whole >> (8 * i));
+        }
+        total = rem;
     }
     w->acc = (uint32_t)(acc & ((1u << total) - 1));
     w->bits = total;
