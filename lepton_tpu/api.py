@@ -214,20 +214,15 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
     info = image_info_from_header(hdr.hdrdata)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
     ans = hdr.version == 3
-    # the native segment decoder memsets every block below comp_sizes[c],
-    # so only the truncation tail needs pre-zeroing; the Python/ANS path
-    # needs fully zeroed planes
-    planes = [np.empty((info.cmpnfo[c].bcv, info.cmpnfo[c].bch, 64),
+    # np.zeros is lazy (mmap zero pages), so full-size planes cost only
+    # the pages the decode actually touches -- crucial for truncated files
+    planes = [np.zeros((info.cmpnfo[c].bcv, info.cmpnfo[c].bch, 64),
                        dtype=np.int16) for c in range(info.cmpc)]
     native = None if ans else _native_image(info, planes, max_heights,
                                             comp_sizes)
     if native is not None:
         planes = native.planes
-        for c in range(info.cmpc):
-            planes[c].reshape(-1, 64)[comp_sizes[c]:] = 0
     else:
-        for p in planes:
-            p[:] = 0
         colors = _color_tables(info)
         image = ImageData(planes, colors, info.mcuv, max_heights, comp_sizes)
 
