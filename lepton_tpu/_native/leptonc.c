@@ -476,6 +476,7 @@ static inline int bsr_prior(int best_prior) {
     return bit_length_u((unsigned)v);
 }
 
+__attribute__((unused))
 static int compute_aavrg(int coord, const int16_t *left, const int16_t *above,
                          const int16_t *aboveleft) {
     /* model.hh:852-871 (uint16 truncation included) */
@@ -563,6 +564,7 @@ static void compute_lak_v(int32_t lak_v[8], const int16_t *here,
     }
 }
 
+__attribute__((unused))
 static int compute_lak(int coord, const int16_t *here, const int16_t *above,
                        const int16_t *left, const ColorTables *ct) {
     /* model.hh:1033-1071; the final normalizer icos[0] is 8192*quant[coord]

@@ -79,15 +79,26 @@ def main(argv=None) -> int:
         elif arg == "-version":
             sys.stdout.write(f"lepton-tpu v{__version__}\n")
             return 0
+        elif arg == "-revision":
+            import subprocess as _sp
+            try:
+                rev = _sp.run(["git", "-C", os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))),
+                    "rev-parse", "HEAD"], capture_output=True,
+                    text=True).stdout.strip()
+            except Exception:
+                rev = ""
+            sys.stdout.write((rev or "unknown") + "\n")
+            return 0
         elif arg == "-singlethread":
             opts["singlethread"] = True
         elif arg == "-allowprogressive":
             opts["allow_progressive"] = True
         elif arg == "-rejectprogressive":
             opts["allow_progressive"] = False
-        elif arg in ("-skipverify", "-skiproundtrip"):
+        elif arg in ("-skipverify", "-skiproundtrip", "-skipvalidate"):
             opts["verify"] = False
-        elif arg == "-verify":
+        elif arg in ("-verify", "-validate"):
             opts["verify"] = True
         elif arg == "-permissive":
             opts["permissive"] = True
@@ -105,9 +116,13 @@ def main(argv=None) -> int:
             opts["overwrite"] = True
         elif arg == "-unjailed":
             opts["unjailed"] = True
-        elif arg in ("-preload", "-decode", "-encode",
-                     "-recode", "-unkillable"):
+        elif arg in ("-preload", "-decode", "-encode", "-recode",
+                     "-unkillable", "-hugepages", "-verbose"):
             pass  # accepted for compatibility
+        elif arg.startswith("-listenbacklog=") or \
+                arg.startswith("-benchreps=") or \
+                arg.startswith("-benchthreads="):
+            pass  # accepted for compatibility (bench uses bench.py)
         elif arg.startswith("-injectsyscall="):
             opts["injectsyscall"] = int(arg.split("=", 1)[1])
         elif arg.startswith("-maxencodethreads="):
