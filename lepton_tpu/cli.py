@@ -265,6 +265,8 @@ def main(argv=None) -> int:
     if opts["verbosity"] > 0 and kind == "jpeg":
         _err(f"{len(out)} {len(data)}")
         _err(f"{100.0 * len(out) / max(len(data), 1):.2f}%")
+    if opts["verbosity"] >= 2 and kind == "jpeg":
+        _print_bill(data, out)
     if opts.get("timing_log"):
         # the log fd cannot be opened inside the jail; write via stderr
         # when jailed, else append to the named file
@@ -308,6 +310,30 @@ def _prepare_for_jail(opts) -> None:
         api.generic_compress(b"x")
     except Exception:
         pass
+
+
+def _print_bill(jpeg_data: bytes, lep_data: bytes) -> None:
+    """Bit-level category accounting at -v2 (the reference's print_bill(2),
+    jpgcoder.cc:1944, billing.hh)."""
+    try:
+        from . import _native
+        from .api import _native_image, _truncation_geometry
+        from .jpeg.decoder import decode_scans
+        from .jpeg.imageinfo import image_info_from_header
+        from .jpeg.parser import parse_jpeg
+        from .util.billing import print_bill
+        parsed = parse_jpeg(jpeg_data)
+        info = image_info_from_header(parsed.hdrdata)
+        dec = decode_scans(parsed, info, allow_progressive=True)
+        mh, cs = _truncation_geometry(info, dec)
+        img = _native_image(info, dec.planes, mh, cs)
+        if img is None:
+            return
+        bcv = info.cmpnfo[0].bcv
+        idx, _ = _native.native_symbolize_segment(img, 0, bcv, True)
+        print_bill([(idx, len(lep_data))], sys.stderr)
+    except Exception as e:
+        _err(f"billing unavailable: {e}")
 
 
 def _swap_ext(path: str, ext: str) -> str:
