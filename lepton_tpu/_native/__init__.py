@@ -126,6 +126,36 @@ class NativeImage:
         from ..model.tables import ARENA_SIZE
         self.arena = np.empty(ARENA_SIZE * 3, dtype=np.uint8)
 
+    def encode_segment_ans(self, min_y: int, max_y: int,
+                           is_last: bool) -> bytes:
+        arena = _thread_arena()
+        cap = sum(p.nbytes for p in self.planes) + (1 << 20)
+        out = np.empty(cap, dtype=np.uint8)
+        self.lib.lepton_encode_segment_ans.restype = ctypes.c_int64
+        n = self.lib.lepton_encode_segment_ans(
+            self.plane_ptrs, self.widths, self.heights, self.comp_sizes,
+            self.max_heights, self.ncomp, self.mcuv, self.color_ptrs,
+            arena.ctypes.data_as(ctypes.c_void_p),
+            min_y, max_y, int(is_last),
+            out.ctypes.data_as(ctypes.c_void_p), cap)
+        if n < 0:
+            raise RuntimeError(f"native ans encode failed: {n}")
+        return out[:n].tobytes()
+
+    def decode_segment_ans(self, data: bytes, min_y: int, max_y: int,
+                           is_last: bool) -> None:
+        arena = _thread_arena()
+        buf = np.frombuffer(data, dtype=np.uint8)
+        self.lib.lepton_decode_segment_ans.restype = ctypes.c_int
+        err = self.lib.lepton_decode_segment_ans(
+            self.plane_ptrs, self.widths, self.heights, self.comp_sizes,
+            self.max_heights, self.ncomp, self.mcuv, self.color_ptrs,
+            arena.ctypes.data_as(ctypes.c_void_p),
+            min_y, max_y, int(is_last),
+            buf.ctypes.data_as(ctypes.c_void_p), len(data))
+        if err:
+            raise RuntimeError("native ans decode: stream inconsistent")
+
     def encode_segment(self, min_y: int, max_y: int, is_last: bool) -> bytes:
         global inject_on_encode
         if inject_on_encode:

@@ -188,13 +188,72 @@ static void vpxr_init(VpxReader *r, const uint8_t *data, size_t len) {
 /* ------------------------------------------------------------ branch model */
 
 typedef struct {
+    const uint8_t *data;
+    size_t len, pos;      /* pos in 32-bit words */
+    uint64_t r0, r1;
+} AnsReader;
+
+static inline uint32_t ans_word(AnsReader *r, size_t wpos) {
+    size_t off = wpos * 4;
+    if (off + 4 <= r->len) {
+        uint32_t v;
+        memcpy(&v, r->data + off, 4);
+        return v;                          /* little-endian host */
+    }
+    uint32_t v = 0;
+    for (size_t i = 0; i < 4 && off + i < r->len; ++i)
+        v |= (uint32_t)r->data[off + i] << (8 * i);
+    return v;
+}
+
+enum { ANS_SCALE_BITS = 8 };
+#define RANS64_L (1ull << 31)
+
+static void ans_reader_init(AnsReader *r, const uint8_t *data, size_t len) {
+    r->data = data; r->len = len; r->pos = 0;
+    r->r0 = (uint64_t)ans_word(r, 0) | ((uint64_t)ans_word(r, 1) << 32);
+    r->r1 = (uint64_t)ans_word(r, 2) | ((uint64_t)ans_word(r, 3) << 32);
+    r->pos = 4;
+}
+
+static inline int ans_get(AnsReader *r, uint32_t prob) {
+    /* ans_bool_reader.hh: two interleaved rans64 states, forward decode */
+    uint64_t x = r->r0;
+    r->r0 = r->r1;
+    uint32_t cum = (uint32_t)(x & ((1u << ANS_SCALE_BITS) - 1));
+    int bit = cum >= prob;
+    uint32_t start = bit ? prob : 0;
+    uint32_t freq = bit ? 256 - prob : prob;
+    x = freq * (x >> ANS_SCALE_BITS) + cum - start;
+    if (x < RANS64_L)
+        x = (x << 32) | ans_word(r, r->pos++);
+    r->r1 = x;
+    return bit;
+}
+
+typedef struct {
     uint8_t *arena;   /* [ARENA_SIZE][3] */
     VpxWriter *w;
     VpxReader *r;
     int32_t *sym_idx;   /* when set: record (idx,bit) instead of coding */
     uint8_t *sym_bit;
     int64_t sym_n, sym_cap;
+    /* ANS (format v3) mode: buffer (prob,bit) pairs, adv update rule */
+    int ans;
+    uint8_t *ans_probs, *ans_bits;
+    int64_t ans_n, ans_cap;
+    AnsReader *ar;
 } Coder;
+
+static int ans_pairs_grow(Coder *c) {
+    int64_t ncap = c->ans_cap ? c->ans_cap * 2 : (1 << 20);
+    uint8_t *p = (uint8_t *)realloc(c->ans_probs, (size_t)ncap);
+    uint8_t *b = (uint8_t *)realloc(c->ans_bits, (size_t)ncap);
+    if (!p || !b) { free(p ? p : c->ans_probs); free(b ? b : c->ans_bits);
+                    c->ans_probs = NULL; c->ans_bits = NULL; return -1; }
+    c->ans_probs = p; c->ans_bits = b; c->ans_cap = ncap;
+    return 0;
+}
 
 /* division-free update via a 256x256x2 transition LUT
  * (the reference precomputes the same table, numeric.cc:4-17) */
@@ -241,6 +300,39 @@ static void init_branch_lut(void) {
     }
 }
 
+/* adv_record_obs_and_update (branch.hh:66-80): the ANS-backend update
+ * rule -- probability always ORed with 1 */
+static uint32_t BRANCH_LUT_ADV[256 * 256 * 2];
+
+__attribute__((constructor))
+static void init_branch_lut_adv(void) {
+    for (int fc = 0; fc < 256; ++fc) {
+        for (int tc = 0; tc < 256; ++tc) {
+            for (int obs = 0; obs < 2; ++obs) {
+                unsigned nfc = fc, ntc = tc;
+                if (obs) {
+                    ++ntc;
+                    if (tc == 0xFF) { nfc = (fc + 1) >> 1; ntc = 129; }
+                } else {
+                    ++nfc;
+                    if (fc == 0xFF) { ntc = (tc + 1) >> 1; nfc = 129; }
+                }
+                unsigned denom = nfc + ntc;
+                unsigned nprob = ((nfc << 8) / (denom ? denom : 1)) | 1;
+                BRANCH_LUT_ADV[((fc << 8) | tc) * 2 + obs] =
+                    nfc | (ntc << 8) | (nprob << 16);
+            }
+        }
+    }
+}
+
+static inline void branch_update_adv(uint8_t *b, int obs) {
+    uint32_t v = BRANCH_LUT_ADV[(((uint32_t)b[0] << 8) | b[1]) * 2 + obs];
+    b[0] = (uint8_t)v;
+    b[1] = (uint8_t)(v >> 8);
+    b[2] = (uint8_t)(v >> 16);
+}
+
 static uint8_t identity_arena_template[ARENA_SIZE * 3];
 
 __attribute__((constructor))
@@ -260,6 +352,15 @@ static inline void branch_update(uint8_t *b, int obs) {
 }
 
 static inline void coder_put(Coder *c, int bit, int idx) {
+    if (__builtin_expect(c->ans, 0)) {
+        uint8_t *b = c->arena + idx * 3;
+        if (c->ans_n >= c->ans_cap && ans_pairs_grow(c) != 0) return;
+        c->ans_probs[c->ans_n] = b[2];
+        c->ans_bits[c->ans_n] = (uint8_t)bit;
+        ++c->ans_n;
+        branch_update_adv(b, bit);
+        return;
+    }
     if (c->sym_idx) {
         /* symbolization mode: branch indices + bits are independent of the
          * adaptive probabilities, so no model update is needed */
@@ -277,6 +378,11 @@ static inline void coder_put(Coder *c, int bit, int idx) {
 
 static inline int coder_get(Coder *c, int idx) {
     uint8_t *b = c->arena + idx * 3;
+    if (__builtin_expect(c->ans, 0)) {
+        int bit = ans_get(c->ar, b[2]);
+        branch_update_adv(b, bit);
+        return bit;
+    }
     int bit = vpxr_get(c->r, b[2]);
     branch_update(b, bit);
     return bit;
@@ -1187,6 +1293,122 @@ EXPORT int lepton_decode_segment(
     VpxReader r;
     vpxr_init(&r, data, (size_t)len);
     Coder c = { arena, NULL, &r, NULL, NULL, 0, 0 };
+    return run_segment(&im, &c, min_y, max_y, is_last, 0);
+}
+
+/* ANS (format v3) segment entry points.  The encoder buffers (prob,bit)
+ * pairs during the forward model pass, then serializes them in reverse
+ * through two interleaved 64-bit rANS states (ans_bool_writer.hh:21-110,
+ * rans64.hh); the decoder streams forward (ans_bool_reader.hh). */
+
+static inline uint64_t rans_enc_put(uint64_t x, uint32_t start,
+                                    uint32_t freq, uint32_t **wp) {
+    uint64_t x_max = ((RANS64_L >> ANS_SCALE_BITS) << 32) * freq;
+    if (x >= x_max) {
+        *--(*wp) = (uint32_t)x;
+        x >>= 32;
+    }
+    return ((x / freq) << ANS_SCALE_BITS) + (x % freq) + start;
+}
+
+/* serialize the buffered pairs; returns byte length or -1 on overflow */
+static int64_t ans_finish(Coder *c, uint8_t *out, int64_t out_cap) {
+    int64_t n = c->ans_n;
+    int64_t npairs = (n + 1) / 2;
+    /* words written back-to-front into a scratch arena */
+    int64_t max_words = 2 * (npairs + 4) + 4 + 8;
+    uint32_t *scratch = (uint32_t *)malloc((size_t)max_words * 4);
+    if (!scratch) return -1;
+    uint32_t *wp = scratch + max_words;
+    uint64_t s1 = RANS64_L, s2 = RANS64_L;
+    for (int64_t k = npairs + 3; k >= 0; --k) {
+        uint32_t fb, fp, sb, sp;
+        if (k < npairs) {
+            sb = c->ans_bits[2 * k];
+            sp = c->ans_probs[2 * k];
+            if (2 * k + 1 < n) {
+                fb = c->ans_bits[2 * k + 1];
+                fp = c->ans_probs[2 * k + 1];
+            } else {
+                fb = 1; fp = 1;        /* unfilled sentinel slot */
+            }
+        } else {
+            fb = 0; fp = 128; sb = 0; sp = 128;   /* nop pairs */
+        }
+        s1 = rans_enc_put(s1, fb ? fp : 0, fb ? 256 - fp : fp, &wp);
+        s2 = rans_enc_put(s2, sb ? sp : 0, sb ? 256 - sp : sp, &wp);
+    }
+    /* flush: the stream leads with [s2lo, s2hi, s1lo, s1hi] so the
+       decoder's first state read (w0 | w1<<32) restores s2 as r0
+       (ans_bool_writer.hh flush order after the final reverse) */
+    *--wp = (uint32_t)(s1 >> 32);
+    *--wp = (uint32_t)(s1 & 0xFFFFFFFFu);
+    *--wp = (uint32_t)(s2 >> 32);
+    *--wp = (uint32_t)(s2 & 0xFFFFFFFFu);
+    int64_t nwords = scratch + max_words - wp;
+    int64_t nbytes = nwords * 4;
+    if (nbytes > out_cap) { free(scratch); return -1; }
+    memcpy(out, wp, (size_t)nbytes);   /* little-endian host */
+    free(scratch);
+    return nbytes;
+}
+
+EXPORT int64_t lepton_encode_segment_ans(
+    int16_t **planes, const int32_t *widths, const int32_t *heights,
+    const int32_t *comp_sizes, const int32_t *max_coded_heights, int ncomp,
+    int mcuv, const ColorTables *const *colors, uint8_t *arena,
+    int min_y, int max_y, int is_last, uint8_t *out, int64_t out_cap) {
+    Image im;
+    memset(&im, 0, sizeof(im));
+    im.ncomp = ncomp;
+    im.mcuv = mcuv;
+    for (int i = 0; i < 3; ++i) {
+        im.planes[i] = i < ncomp ? planes[i] : NULL;
+        im.widths[i] = i < ncomp ? widths[i] : 0;
+        im.heights[i] = i < ncomp ? heights[i] : 0;
+        im.comp_sizes[i] = i < ncomp ? comp_sizes[i] : 0;
+        im.max_coded_heights[i] = i < ncomp ? max_coded_heights[i] : 0;
+        im.colors[i] = i < ncomp ? colors[i] : NULL;
+        im.row_mask[i] = 0x7fffffff;
+    }
+    Coder c;
+    memset(&c, 0, sizeof(c));
+    c.arena = arena;
+    c.ans = 1;
+    int err = run_segment(&im, &c, min_y, max_y, is_last, 1);
+    int64_t r = -1;
+    if (!err)
+        r = ans_finish(&c, out, out_cap);
+    free(c.ans_probs);
+    free(c.ans_bits);
+    return r;
+}
+
+EXPORT int lepton_decode_segment_ans(
+    int16_t **planes, const int32_t *widths, const int32_t *heights,
+    const int32_t *comp_sizes, const int32_t *max_coded_heights, int ncomp,
+    int mcuv, const ColorTables *const *colors, uint8_t *arena,
+    int min_y, int max_y, int is_last, const uint8_t *data, int64_t len) {
+    Image im;
+    memset(&im, 0, sizeof(im));
+    im.ncomp = ncomp;
+    im.mcuv = mcuv;
+    for (int i = 0; i < 3; ++i) {
+        im.planes[i] = i < ncomp ? planes[i] : NULL;
+        im.widths[i] = i < ncomp ? widths[i] : 0;
+        im.heights[i] = i < ncomp ? heights[i] : 0;
+        im.comp_sizes[i] = i < ncomp ? comp_sizes[i] : 0;
+        im.max_coded_heights[i] = i < ncomp ? max_coded_heights[i] : 0;
+        im.colors[i] = i < ncomp ? colors[i] : NULL;
+        im.row_mask[i] = 0x7fffffff;
+    }
+    AnsReader ar;
+    ans_reader_init(&ar, data, (size_t)len);
+    Coder c;
+    memset(&c, 0, sizeof(c));
+    c.arena = arena;
+    c.ans = 1;
+    c.ar = &ar;
     return run_segment(&im, &c, min_y, max_y, is_last, 0);
 }
 

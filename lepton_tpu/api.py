@@ -155,8 +155,7 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
     splits = select_splits(row_handoffs, num_threads, even_split)
 
     max_heights, comp_sizes = _truncation_geometry(info, dec)
-    native = None if ans else _native_image(info, dec.planes, max_heights,
-                                            comp_sizes)
+    native = _native_image(info, dec.planes, max_heights, comp_sizes)
     if native is None:
         colors = _color_tables(info)
         image = ImageData([np.ascontiguousarray(p) for p in dec.planes],
@@ -171,8 +170,8 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
     timing.mark("TS_ARITH_STARTED")
     if native is not None:
         # segments are independent streams; the C calls drop the GIL
-        streams = _parallel_map(
-            lambda j: native.encode_segment(*j), jobs)
+        enc = native.encode_segment_ans if ans else native.encode_segment
+        streams = _parallel_map(lambda j: enc(*j), jobs)
     else:
         streams = [encode_segment(image, *j, ans=ans) for j in jobs]
     timing.mark("TS_ARITH_FINISHED")
@@ -218,8 +217,7 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
     # the pages the decode actually touches -- crucial for truncated files
     planes = [np.zeros((info.cmpnfo[c].bcv, info.cmpnfo[c].bch, 64),
                        dtype=np.int16) for c in range(info.cmpc)]
-    native = None if ans else _native_image(info, planes, max_heights,
-                                            comp_sizes)
+    native = _native_image(info, planes, max_heights, comp_sizes)
     if native is not None:
         planes = native.planes
     else:
@@ -255,7 +253,8 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
     timing.mark("TS_ARITH_STARTED")
     if native is not None:
         # each segment decodes a disjoint row range of the shared planes
-        _parallel_map(lambda j: native.decode_segment(*j), jobs)
+        dec_fn = native.decode_segment_ans if ans else native.decode_segment
+        _parallel_map(lambda j: dec_fn(*j), jobs)
     else:
         for j in jobs:
             decode_segment(image, *j, ans=ans)

@@ -174,3 +174,26 @@ def test_recodememory_streaming_bound(tmp_path, ref_images):
                         str(tmp_path / "t.jpg")], capture_output=True,
                        timeout=600)
     assert r.returncode == 38
+
+
+def test_ans_native_reference_interop(ref_images, tmp_path):
+    """v3 (.lep ANS) bidirectional interop with the ANS-enabled reference
+    build, through the native C backend."""
+    import subprocess
+    ref = "/tmp/refbuild-ans/lepton"
+    if not os.path.exists(ref):
+        pytest.skip("reference ANS build not present")
+    src = os.path.join(ref_images, "nofsync.jpg")
+    data = open(src, "rb").read()
+    ours = compress(data, version=3)
+    lep = str(tmp_path / "o.lep")
+    open(lep, "wb").write(ours)
+    out = str(tmp_path / "o.jpg")
+    r = subprocess.run([ref, "-unjailed", lep, out], capture_output=True,
+                       timeout=300)
+    assert r.returncode == 0 and open(out, "rb").read() == data
+    rl = str(tmp_path / "r.lep")
+    r = subprocess.run([ref, "-ans", "-skipverify", "-unjailed", src, rl],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0
+    assert decompress(open(rl, "rb").read()) == data
