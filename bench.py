@@ -116,10 +116,15 @@ def bench_tpu_phase_a():
         fn = jax.jit(lambda c: K.phase_a(c, quant, icx, icy))
         out = fn(coefs)
         jax.block_until_ready(out)
-        reps = 10
+        # fresh device-resident inputs each rep: defeats any transport-level
+        # result caching and excludes host->device transfer from the timing
+        bump = jax.jit(lambda x, k: (x + k).astype(x.dtype))
+        reps = 5
+        xs = [bump(coefs, k + 1) for k in range(reps)]
+        jax.block_until_ready(xs)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(coefs)
+        for x in xs:
+            out = fn(x)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         nblocks = coefs.shape[0] * coefs.shape[1]

@@ -256,7 +256,16 @@ def block_bit_cost(coefs: jnp.ndarray) -> jnp.ndarray:
 
 def phase_a(coefs: jnp.ndarray, quant: jnp.ndarray,
             icos_x: jnp.ndarray, icos_y: jnp.ndarray):
-    """Full phase-A bundle for one component plane."""
+    """Full phase-A bundle for one component plane (planar layout; the
+    blockwise composition below is kept as phase_a_reference)."""
+    return phase_a_planar(coefs, quant, icos_x, icos_y)
+
+
+def phase_a_reference(coefs: jnp.ndarray, quant: jnp.ndarray,
+                      icos_x: jnp.ndarray, icos_y: jnp.ndarray):
+    """Blockwise-layout composition (slower on TPU: (...,8,8) trailing
+    dims under-fill the 128-wide lanes); retained as the readable cross
+    check for phase_a_planar."""
     nz7, edges, pixels = neighbor_summaries(coefs, quant)
     aavrg = aavrg_all(coefs)
     lak = lak_all(coefs, icos_x, icos_y)
@@ -265,3 +274,207 @@ def phase_a(coefs: jnp.ndarray, quant: jnp.ndarray,
     return dict(nz7x7=nz7, edges=edges, pixels=pixels, aavrg=aavrg,
                 lak=lak, dc_pred=pred, uncertainty=unc, uncertainty2=unc2,
                 cost=cost)
+
+
+# ---------------------------------------------------------------------------
+# Planar implementations: band-major [64, H, W] layout keeps W on the TPU
+# lane dimension (the (..., 8, 8) forms above tile 8 elements into 128-wide
+# lanes -- ~6% utilization and constant relayouts).  Same exact integer
+# semantics; phase_a() routes here.
+# ---------------------------------------------------------------------------
+
+
+def _planar(coefs: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, 64] int16 -> [64, H, W] int32."""
+    return jnp.moveaxis(coefs.astype(jnp.int32), -1, 0)
+
+
+def _idct_planar(cp: jnp.ndarray, quant: jnp.ndarray,
+                 ignore_dc: bool = True):
+    """cp int32 [64, H, W] -> pixels list of 64 planes [H, W] int32."""
+    d = cp * quant.astype(jnp.int32)[:, None, None]
+    dz = [d[k] for k in range(64)]
+    if ignore_dc:
+        dz[0] = jnp.zeros_like(dz[0])
+    inter = [None] * 64
+    for y in range(8):
+        r = [dz[y * 8 + i] for i in range(8)]
+        x0 = (r[0] << 11) + 128
+        x1 = r[4] << 11
+        x2, x3, x4, x5, x6, x7 = r[6], r[2], r[1], r[7], r[5], r[3]
+        x8 = C.W7 * (x4 + x5)
+        x4, x5 = x8 + C.W1MW7 * x4, x8 - C.W1PW7 * x5
+        x8 = C.W3 * (x6 + x7)
+        x6, x7 = x8 - C.W3MW5 * x6, x8 - C.W3PW5 * x7
+        x8 = x0 + x1
+        x0 = x0 - x1
+        x1 = C.W6 * (x3 + x2)
+        x2, x3 = x1 - C.W2PW6 * x2, x1 + C.W2MW6 * x3
+        x1 = x4 + x6
+        x4 = x4 - x6
+        x6 = x5 + x7
+        x5 = x5 - x7
+        x7 = x8 + x3
+        x8 = x8 - x3
+        x3 = x0 + x2
+        x0 = x0 - x2
+        x2 = (C.R2 * (x4 + x5) + 128) >> 8
+        x4 = (C.R2 * (x4 - x5) + 128) >> 8
+        row = [(x7 + x1) >> 8, (x3 + x2) >> 8, (x0 + x4) >> 8,
+               (x8 + x6) >> 8, (x8 - x6) >> 8, (x0 - x4) >> 8,
+               (x3 - x2) >> 8, (x7 - x1) >> 8]
+        for j in range(8):
+            inter[y * 8 + j] = row[j]
+    out = [None] * 64
+    for x in range(8):
+        col = [inter[r * 8 + x] for r in range(8)]
+        y0 = (col[0] << 8) + 8192
+        y1 = col[4] << 8
+        y2, y3, y4, y5, y6, y7 = col[6], col[2], col[1], col[7], col[5], col[3]
+        y8 = C.W7 * (y4 + y5) + 4
+        y4, y5 = (y8 + C.W1MW7 * y4) >> 3, (y8 - C.W1PW7 * y5) >> 3
+        y8 = C.W3 * (y6 + y7) + 4
+        y6, y7 = (y8 - C.W3MW5 * y6) >> 3, (y8 - C.W3PW5 * y7) >> 3
+        y8 = y0 + y1
+        y0 = y0 - y1
+        y1 = C.W6 * (y3 + y2) + 4
+        y2, y3 = (y1 - C.W2PW6 * y2) >> 3, (y1 + C.W2MW6 * y3) >> 3
+        y1 = y4 + y6
+        y4 = y4 - y6
+        y6 = y5 + y7
+        y5 = y5 - y7
+        y7 = y8 + y3
+        y8 = y8 - y3
+        y3 = y0 + y2
+        y0 = y0 - y2
+        y2 = (C.R2 * (y4 + y5) + 128) >> 8
+        y4 = (C.R2 * (y4 - y5) + 128) >> 8
+        colo = [(y7 + y1) >> 11, (y3 + y2) >> 11, (y0 + y4) >> 11,
+                (y8 + y6) >> 11, (y8 - y6) >> 11, (y0 - y4) >> 11,
+                (y3 - y2) >> 11, (y7 - y1) >> 11]
+        for r in range(8):
+            out[r * 8 + x] = colo[r]
+    return out
+
+
+def _shift_above(p: jnp.ndarray) -> jnp.ndarray:
+    """[.., H, W] -> same with rows shifted down (row 0 zero)."""
+    return jnp.pad(p[..., :-1, :], [(0, 0)] * (p.ndim - 2) + [(1, 0), (0, 0)])
+
+
+def _shift_left(p: jnp.ndarray) -> jnp.ndarray:
+    return jnp.pad(p[..., :, :-1], [(0, 0)] * (p.ndim - 2) + [(0, 0), (1, 0)])
+
+
+def phase_a_planar(coefs: jnp.ndarray, quant: jnp.ndarray,
+                   icos_x: jnp.ndarray, icos_y: jnp.ndarray):
+    H, W = coefs.shape[0], coefs.shape[1]
+    cp = _planar(coefs)                       # [64, H, W] int32
+    q = quant.astype(jnp.int32)
+    q0 = q[0]
+    has_left = (jnp.arange(W) > 0)[None, :]
+    has_above = (jnp.arange(H) > 0)[:, None]
+
+    # ---- pixels (ignore-dc IDCT) + neighbor summary edges
+    px = _idct_planar(cp, quant, ignore_dc=True)   # 64 planes [H, W]
+    # the scalar idct stores int16 pixels (idct.cc out[64] int16): wrap
+    px = [p.astype(jnp.int16).astype(jnp.int32) for p in px]
+    dc = cp[0]
+    vert = [dc * q0 + px[i * 8 + 7] + 1024
+            + _div2_toward_zero(px[i * 8 + 7] - px[i * 8 + 6])
+            for i in range(8)]
+    horiz = [dc * q0 + px[56 + i] + 1024
+             + _div2_toward_zero(px[56 + i] - px[48 + i])
+             for i in range(8)]
+    edges = jnp.stack(vert + horiz, axis=-1).astype(jnp.int16)
+
+    nz7 = sum((cp[r * 8 + col] != 0).astype(jnp.int32)
+              for r in range(1, 8) for col in range(1, 8)).astype(jnp.uint8)
+
+    # ---- aavrg (model.hh:852-871, uint16 truncation)
+    a = jnp.abs(cp)
+    left_a = _shift_left(a)
+    above_a = _shift_above(a)
+    al_a = _shift_above(_shift_left(a))
+    both = ((13 * (left_a + above_a) + 6 * al_a) & 0xFFFF) >> 5
+    aavrg = jnp.where(has_left & has_above, both,
+                      jnp.where(has_left, left_a,
+                                jnp.where(has_above, above_a, 0)))
+    aavrg = jnp.moveaxis(aavrg, 0, -1)
+
+    # ---- Lakhani predictions (model.hh:1033-1071)
+    sign = [0, 1, -1, 1, -1, 1, -1, 1]
+    icx = np.asarray(icos_x).reshape(8, 8)
+    icy = np.asarray(icos_y).reshape(8, 8)
+    lak_cols = []
+    for b in range(1, 8):            # horizontal: coord b, needs above
+        above_b = [_shift_above(cp[i * 8 + b]) for i in range(8)]
+        pred = above_b[0] * int(icx[b, 0])
+        for i in range(1, 8):
+            pred = pred - int(icx[b, i]) * (cp[i * 8 + b]
+                                            + sign[i] * above_b[i])
+        den = int(icx[b, 0])
+        pred = jnp.sign(pred) * (jnp.abs(pred) // den)
+        lak_cols.append(jnp.where(has_above, pred, 0))
+    for b in range(1, 8):            # vertical: coord 8b, needs left
+        left_b = [_shift_left(cp[b * 8 + i]) for i in range(8)]
+        pred = left_b[0] * int(icy[b, 0])
+        for i in range(1, 8):
+            pred = pred - int(icy[b, i]) * (cp[b * 8 + i]
+                                            + sign[i] * left_b[i])
+        den = int(icy[b, 0])
+        pred = jnp.sign(pred) * (jnp.abs(pred) // den)
+        lak_cols.append(jnp.where(has_left, pred, 0))
+    lak = jnp.stack(lak_cols, axis=-1)
+
+    # ---- DC prediction (model.hh:674-784)
+    left_edges = [_shift_left(e) for e in vert]     # neighbor's right edge
+    above_edges = [_shift_above(e) for e in horiz]  # neighbor's bottom edge
+    est_l = []
+    est_a = []
+    for i in range(8):
+        a_l = px[i * 8] + 1024
+        pd_l = px[i * 8] - px[i * 8 + 1]
+        b_l = left_edges[i] - _div2_toward_zero(pd_l)
+        est_l.append(((b_l - a_l).astype(jnp.int16)).astype(jnp.int32))
+        a_a = px[i] + 1024
+        pd_a = px[i] - px[8 + i]
+        b_a = above_edges[i] - _div2_toward_zero(pd_a)
+        est_a.append(((b_a - a_a).astype(jnp.int16)).astype(jnp.int32))
+    big = jnp.int32(1 << 30)
+    lm = has_left
+    am = has_above
+    mins = jnp.minimum(
+        jnp.minimum(*[jnp.where(lm, e, big) for e in est_l[:2]]),
+        jnp.minimum(*[jnp.where(am, e, big) for e in est_a[:2]]))
+    maxs = jnp.maximum(
+        jnp.maximum(*[jnp.where(lm, e, -big) for e in est_l[:2]]),
+        jnp.maximum(*[jnp.where(am, e, -big) for e in est_a[:2]]))
+    for e in est_l[2:]:
+        mins = jnp.minimum(mins, jnp.where(lm, e, big))
+        maxs = jnp.maximum(maxs, jnp.where(lm, e, -big))
+    for e in est_a[2:]:
+        mins = jnp.minimum(mins, jnp.where(am, e, big))
+        maxs = jnp.maximum(maxs, jnp.where(am, e, -big))
+    sum_l = sum(jnp.where(lm, e, 0) for e in est_l)
+    sum_a = sum(jnp.where(am, e, 0) for e in est_a)
+    avg_h = jnp.where(lm, sum_l, sum_a)
+    avg_v = jnp.where(lm & am, sum_a, avg_h)
+    overall = (avg_h + avg_v) >> 1
+    any_mask = lm | am
+    uncertainty = jnp.where(any_mask, (maxs - mins) >> 3, 0)
+    dh = avg_h - overall
+    dv = avg_v - overall
+    far = jnp.where(jnp.abs(dh) < jnp.abs(dv), dh, dv)
+    uncertainty2 = jnp.where(any_mask, far >> 3, 0)
+    avgmed = jnp.where(any_mask, overall, 0)
+    pred = (jnp.sign(avgmed) * (jnp.abs(avgmed) // q0) + 4) >> 3
+
+    # ---- bit-cost estimate
+    blen = jnp.where(a > 0, 32 - jax.lax.clz(a), 0)
+    cost = 16 + jnp.sum(1 + 2 * blen, axis=0)
+
+    pixels = jnp.stack(px, axis=-1).astype(jnp.int16)
+    return dict(nz7x7=nz7, edges=edges, pixels=pixels, aavrg=aavrg,
+                lak=lak, dc_pred=pred, uncertainty=uncertainty,
+                uncertainty2=uncertainty2, cost=cost)

@@ -112,3 +112,24 @@ def test_dc_prediction_matches_scalar(setup):
             assert pred[y, x] == rp, (y, x)
             assert unc[y, x] == ru, (y, x)
             assert unc2[y, x] == ru2, (y, x)
+
+
+def test_phase_a_planar_equals_reference():
+    import numpy as np
+    import jax.numpy as jnp
+    from lepton_tpu.kernels import contexts as K
+    from lepton_tpu.model.context import ColorTables
+    qt = np.arange(1, 65).astype(np.int64)
+    colors = ColorTables(qt)
+    quant = jnp.asarray(colors.quant, dtype=jnp.int32)
+    icx = jnp.asarray(colors.icos_idct_edge_8192_dequantized_x,
+                      dtype=jnp.int32)
+    icy = jnp.asarray(colors.icos_idct_edge_8192_dequantized_y,
+                      dtype=jnp.int32)
+    rng = np.random.default_rng(11)
+    c = rng.integers(-512, 513, size=(9, 13, 64)).astype(np.int16)
+    c[rng.random(size=c.shape) < 0.6] = 0
+    o1 = K.phase_a_reference(jnp.asarray(c), quant, icx, icy)
+    o2 = K.phase_a_planar(jnp.asarray(c), quant, icx, icy)
+    for k in o1:
+        assert np.array_equal(np.asarray(o1[k]), np.asarray(o2[k])), k
