@@ -471,3 +471,27 @@ class StreamDecoder:
             self.close()
         except Exception:
             pass
+
+
+def set_model_template(data) -> None:
+    """Overwrite the initial-model template used by every segment codec
+    (None restores the identity model).  Mirrors the process-global
+    LEPTON_COMPRESSION_MODEL semantics of the reference."""
+    lib = get_lib()
+    lib.lepton_arena_template.restype = ctypes.POINTER(ctypes.c_uint8)
+    ptr = lib.lepton_arena_template()
+    from ..model.tables import ARENA_SIZE
+    n = ARENA_SIZE * 3
+    if data is None:
+        ident = np.empty((ARENA_SIZE, 3), dtype=np.uint8)
+        ident[:, 0] = 1
+        ident[:, 1] = 1
+        ident[:, 2] = 128
+        data = ident.tobytes()
+    assert len(data) == n
+    ctypes.memmove(ptr, data, n)
+
+
+def thread_arena_snapshot() -> "np.ndarray":
+    """Copy of this thread's codec arena (post-encode model state)."""
+    return _thread_arena().copy()

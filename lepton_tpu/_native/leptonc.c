@@ -335,6 +335,11 @@ static inline void branch_update_adv(uint8_t *b, int obs) {
 
 static uint8_t identity_arena_template[ARENA_SIZE * 3];
 
+/* mutable initial-model template: the LEPTON_COMPRESSION_MODEL hook
+ * (load_probability_tables, model.cc:386-397) overwrites this with a
+ * trained model; every segment codec memcpys its arena from here */
+EXPORT uint8_t *lepton_arena_template(void) { return identity_arena_template; }
+
 __attribute__((constructor))
 static void init_identity_arena(void) {
     for (int i = 0; i < ARENA_SIZE; ++i) {

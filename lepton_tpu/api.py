@@ -31,6 +31,50 @@ class LeptonError(Exception):
     pass
 
 
+_model_env_state = {"cur": None, "out_f": None}
+
+
+def _model_out_file():
+    """Pre-opened LEPTON_COMPRESSION_MODEL_OUT handle (the reference opens
+    this fd at startup, before the jail: vp8_encoder.cc:447-458)."""
+    path = os.environ.get("LEPTON_COMPRESSION_MODEL_OUT")
+    if not path:
+        return None
+    f = _model_env_state.get("out_f")
+    if f is None or f.name != path:
+        f = open(path, "wb")
+        _model_env_state["out_f"] = f
+    return f
+
+
+def _apply_model_env() -> None:
+    """Honor LEPTON_COMPRESSION_MODEL: preload a trained model as every
+    segment's initial state (load_probability_tables, model.cc:386-397;
+    on load each branch count is normalized to (1+c)>>1,
+    branch.hh:101-104)."""
+    try:
+        from . import _native
+        if not _native.available():
+            return
+    except Exception:
+        return
+    path = os.environ.get("LEPTON_COMPRESSION_MODEL")
+    if path == _model_env_state["cur"]:
+        return
+    if path:
+        from .model.tables import ARENA_SIZE
+        raw = np.frombuffer(open(path, "rb").read(), dtype=np.uint8).copy()
+        if raw.size != ARENA_SIZE * 3:
+            raise LeptonError("unexpected model file size")
+        arr = raw.reshape(-1, 3)
+        arr[:, 0] = ((1 + arr[:, 0].astype(np.uint16)) >> 1).astype(np.uint8)
+        arr[:, 1] = ((1 + arr[:, 1].astype(np.uint16)) >> 1).astype(np.uint8)
+        _native.set_model_template(raw.tobytes())
+    else:
+        _native.set_model_template(None)
+    _model_env_state["cur"] = path
+
+
 _MAX_WORKERS = None
 
 
@@ -168,10 +212,23 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
                  else info.cmpnfo[0].bcv)
         jobs.append((th.luma_y_start, end_y, is_last))
     timing.mark("TS_ARITH_STARTED")
+    _apply_model_env()
+    model_out = os.environ.get("LEPTON_COMPRESSION_MODEL_OUT")
     if native is not None:
         # segments are independent streams; the C calls drop the GIL
         enc = native.encode_segment_ans if ans else native.encode_segment
-        streams = _parallel_map(lambda j: enc(*j), jobs)
+        if model_out:
+            # dump thread 0's post-encode model (vp8_encoder.cc:616-622);
+            # encode segment 0 on this thread and snapshot its arena
+            from . import _native
+            first = enc(*jobs[0])
+            f = _model_out_file()
+            f.seek(0)
+            f.write(_native.thread_arena_snapshot().tobytes())
+            f.flush()
+            streams = [first] + _parallel_map(lambda j: enc(*j), jobs[1:])
+        else:
+            streams = _parallel_map(lambda j: enc(*j), jobs)
     else:
         streams = [encode_segment(image, *j, ans=ans) for j in jobs]
     timing.mark("TS_ARITH_FINISHED")
@@ -251,6 +308,7 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
         jobs.append((bytes(demux.buffers[i]), th.luma_y_start, end_y,
                      is_last))
     timing.mark("TS_ARITH_STARTED")
+    _apply_model_env()
     if native is not None:
         # each segment decodes a disjoint row range of the shared planes
         dec_fn = native.decode_segment_ans if ans else native.decode_segment
@@ -376,6 +434,7 @@ def decompress_streaming(lep_data: bytes) -> bytes:
     except Exception:
         return decompress(lep_data)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
+    _apply_model_env()
 
     handoffs = hdr.handoffs
     if not handoffs:

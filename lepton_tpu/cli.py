@@ -300,6 +300,11 @@ def _prepare_for_jail(opts) -> None:
         brotli_ffi._load()               # dlopen libbrotli if present
     except Exception:
         pass
+    try:
+        api._apply_model_env()       # model file must be read pre-jail
+        api._model_out_file()        # and the dump fd opened pre-jail
+    except Exception:
+        pass
     # warm the whole codec with a tiny in-memory roundtrip: one-time lazy
     # initialization (extension-internal opens) must happen pre-jail, the
     # same way the reference preallocates and spawns workers before

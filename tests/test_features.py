@@ -197,3 +197,40 @@ def test_ans_native_reference_interop(ref_images, tmp_path):
                        capture_output=True, timeout=300)
     assert r.returncode == 0
     assert decompress(open(rl, "rb").read()) == data
+
+
+def test_custom_model_roundtrip(ref_images, tmp_path):
+    """test_custom_table.sh equivalent: train a model on one image
+    (LEPTON_COMPRESSION_MODEL_OUT), then encode+decode another image with
+    the trained model preloaded (LEPTON_COMPRESSION_MODEL)."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lepton = os.path.join(repo, "lepton")
+    model = str(tmp_path / "model.bin")
+    env = dict(os.environ, LEPTON_COMPRESSION_MODEL_OUT=model)
+    env.pop("LEPTON_COMPRESSION_MODEL", None)
+    train = os.path.join(ref_images, "androidcrop.jpg")
+    r = subprocess.run([lepton, "-skipverify", train,
+                        str(tmp_path / "t.lep")], env=env,
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    from lepton_tpu.model.tables import ARENA_SIZE
+    assert os.path.getsize(model) == ARENA_SIZE * 3
+
+    src = os.path.join(ref_images, "nofsync.jpg")
+    data = open(src, "rb").read()
+    env = dict(os.environ, LEPTON_COMPRESSION_MODEL=model)
+    env.pop("LEPTON_COMPRESSION_MODEL_OUT", None)
+    lep = str(tmp_path / "m.lep")
+    jpg = str(tmp_path / "m.jpg")
+    r = subprocess.run([lepton, src, lep], env=env, capture_output=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([lepton, lep, jpg], env=env, capture_output=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert open(jpg, "rb").read() == data
+    # a trained model changes the bitstream (and a plain decode without
+    # the model must fail or mismatch)
+    plain = compress(data)
+    assert open(lep, "rb").read() != plain
