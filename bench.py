@@ -170,13 +170,13 @@ def bench_tpu_phase_b():
         total = sum(len(i) for i, _ in segs)
         idxs, bits = vpx_scan.build_symbol_streams(segs)
         ij, bj = jax.device_put(idxs), jax.device_put(bits)
-        out = vpx_scan.encode_streams(ij, bj)
+        out = vpx_scan.encode_streams_windowed(ij, bj)
         jax.block_until_ready(out)           # compile
         b2 = np.asarray(bits).copy()
         b2[0, 1] ^= 1                        # new value: defeat arg caching
         bj2 = jax.device_put(b2)
         t0 = time.perf_counter()
-        out = vpx_scan.encode_streams(ij, bj2)
+        out = vpx_scan.encode_streams_windowed(ij, bj2)
         import numpy as _np
         _np.asarray(out[3])
         dt = time.perf_counter() - t0

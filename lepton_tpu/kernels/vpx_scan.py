@@ -159,3 +159,108 @@ def finalize_streams(emit, byte, carry, nbytes):
             bs.append(0)
         out.append(bytes(bs))
     return out
+
+
+@partial(jax.jit, static_argnames=("window",))
+def encode_streams_windowed(idxs: jnp.ndarray, bits: jnp.ndarray,
+                            window: int = 8):
+    """Windowed variant of encode_streams: each scan step consumes
+    `window` symbols per lane, coalescing the model-arena gather/scatter
+    (the per-step HBM round trip dominates the one-symbol scan).
+
+    Same outputs as encode_streams.  In-window same-branch reuse is
+    resolved by forwarding the freshest updated state; the single scatter
+    per window routes superseded duplicates to a dump row so duplicate
+    scatter-index semantics never matter.
+    """
+    S, L = idxs.shape
+    W = window
+    pad_L = (L + W - 1) // W * W
+    if pad_L != L:
+        idxs = jnp.pad(idxs, ((0, 0), (0, pad_L - L)),
+                       constant_values=PAD)
+        bits = jnp.pad(bits, ((0, 0), (0, pad_L - L)))
+    lut = _lut()
+    seg = jnp.arange(S)
+    vpx_norm = jnp.asarray(_VPX_NORM_NP)
+    DUMP = ARENA_SIZE                      # extra row absorbing dead writes
+
+    def step(carry, xs):
+        arena, low, rng, count = carry
+        idx_w, bit_w = xs                  # [W, S]
+        gathered = arena[seg[None, :], jnp.maximum(idx_w, 0)]   # [W, S, 3]
+        upd_states = []
+        emits, bytes_, carries = [], [], []
+        for k in range(W):
+            idx = idx_w[k]
+            bit = bit_w[k]
+            valid = idx != PAD
+            adaptive = idx >= 0
+            cur = gathered[k]
+            found = jnp.zeros_like(idx, dtype=bool)
+            for j in range(k - 1, -1, -1):
+                m = (idx == idx_w[j]) & adaptive & (idx_w[j] >= 0) & ~found
+                cur = jnp.where(m[:, None], upd_states[j], cur)
+                found = found | m
+            prob = jnp.where(adaptive, cur[:, 2].astype(jnp.int32), 128)
+            bit32 = bit.astype(jnp.uint32)
+            split = (1 + (((rng - 1) * prob.astype(jnp.uint32)) >> 8))
+            low2 = jnp.where(bit32 != 0, low + split, low)
+            rng2 = jnp.where(bit32 != 0, rng - split, split)
+            shift = vpx_norm[rng2.astype(jnp.int32)].astype(jnp.uint32)
+            rng3 = rng2 << shift
+            count2 = count + shift.astype(jnp.int32)
+            emit = (count2 >= 0) & valid
+            offset = shift.astype(jnp.int32) - count2
+            carry_flag = emit & (
+                ((low2 << (offset - 1).astype(jnp.uint32)) >> 31) & 1
+            ).astype(jnp.bool_)
+            byte = ((low2 >> (24 - offset).astype(jnp.uint32))
+                    & 0xFF).astype(jnp.uint8)
+            low_emit = ((low2 << offset.astype(jnp.uint32)) & 0xFFFFFF) \
+                << count2.astype(jnp.uint32)
+            low_noemit = low2 << shift
+            low3 = jnp.where(emit, low_emit, low_noemit)
+            count3 = jnp.where(emit, count2 - 8, count2)
+            low = jnp.where(valid, low3, low)
+            rng = jnp.where(valid, rng3, rng)
+            count = jnp.where(valid, count3, count)
+            nb = lut[cur[:, 0].astype(jnp.int32), cur[:, 1].astype(jnp.int32),
+                     bit.astype(jnp.int32)]
+            nb = jnp.where(adaptive[:, None], nb, cur)
+            upd_states.append(nb)
+            emits.append(emit)
+            bytes_.append(byte)
+            carries.append(carry_flag)
+        # single scatter: superseded (non-final) duplicates -> dump row
+        scat_idx = []
+        for k in range(W):
+            superseded = jnp.zeros_like(idx_w[k], dtype=bool)
+            for j in range(k + 1, W):
+                superseded = superseded | ((idx_w[j] == idx_w[k])
+                                           & (idx_w[k] >= 0))
+            scat_idx.append(jnp.where((idx_w[k] >= 0) & ~superseded,
+                                      idx_w[k], DUMP))
+        si = jnp.stack(scat_idx)                       # [W, S]
+        su = jnp.stack(upd_states)                     # [W, S, 3]
+        arena = arena.at[seg[None, :], si].set(su)
+        return (arena, low, rng, count), (jnp.stack(emits),
+                                          jnp.stack(bytes_),
+                                          jnp.stack(carries))
+
+    arena0 = jnp.concatenate(
+        [fresh_arenas(S), jnp.zeros((S, 1, 3), dtype=jnp.uint8)], axis=1)
+    low0 = jnp.zeros(S, dtype=jnp.uint32)
+    rng0 = jnp.full(S, 255, dtype=jnp.uint32)
+    count0 = jnp.full(S, -24, dtype=jnp.int32)
+    steps = pad_L // W
+    ixs = idxs.T.reshape(steps, W, S)
+    bxs = bits.T.reshape(steps, W, S)
+    (_, _, _, _), ys = jax.lax.scan(step, (arena0, low0, rng0, count0),
+                                    (ixs, bxs))
+    emit, byte, carry = ys                 # [steps, W, S]
+    emit = emit.reshape(pad_L, S)[:L]
+    byte = byte.reshape(pad_L, S)[:L]
+    carry = carry.reshape(pad_L, S)[:L]
+    nbytes = jnp.sum(emit, axis=0).astype(jnp.int32)
+    return emit, byte, carry, nbytes

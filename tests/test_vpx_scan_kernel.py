@@ -46,3 +46,27 @@ def test_scan_kernel_matches_scalar_coder():
     out = vpx_scan.finalize_streams(emit, byte, carry, nbytes)
     for s in range(S):
         assert out[s] == refs[s], f"segment {s}"
+
+
+def test_windowed_scan_matches_per_symbol():
+    """encode_streams_windowed (coalesced gather/scatter, in-window state
+    forwarding) must be bit-identical to the per-symbol scan."""
+    import random
+    import numpy as np
+    from lepton_tpu.kernels import vpx_scan as V
+    from lepton_tpu.model.tables import ARENA_SIZE
+    rng = random.Random(9)
+    segs = []
+    for s in range(3):
+        n = 500 + 77 * s
+        idx = [rng.randrange(ARENA_SIZE) for _ in range(n)]
+        for k in range(2, n):
+            if rng.random() < 0.8:
+                idx[k] = idx[rng.randrange(max(1, k - 6), k)]
+        bit = [rng.randrange(2) for _ in range(n)]
+        segs.append((np.asarray(idx, np.int32), np.asarray(bit, np.uint8)))
+    idxs, bits = V.build_symbol_streams(segs)
+    o1 = V.encode_streams(idxs, bits)
+    o2 = V.encode_streams_windowed(idxs, bits)
+    for a, b in zip(o1, o2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
