@@ -174,6 +174,8 @@ def main(argv=None) -> int:
             opts["timing_log"] = arg.split("=", 1)[1]
             from .util import timing
             timing.enable(True)
+        elif arg == "-info":
+            opts["info"] = True
         elif arg == "-benchmark":
             return _benchmark()
         elif arg.startswith("-"):
@@ -354,6 +356,50 @@ def _parse_size(s: str) -> int:
     return int(s) * mult
 
 
+def _write_info(data: bytes) -> None:
+    """Structure report for a JPEG (write_info, jpgcoder.cc:5612-5682)."""
+    from .jpeg.imageinfo import image_info_from_header
+    from .jpeg.parser import parse_jpeg
+    from .constants import RASTER_TO_ZIGZAG
+    parsed = parse_jpeg(data)
+    info = image_info_from_header(parsed.hdrdata)
+    w = sys.stdout.write
+    w("<Infofile for JPEG image:>\n\n\n")
+    w("coding process: %s\n" % (
+        "sequential" if info.jpegtype == 1 else "progressive"))
+    w("imageheight: %d / imagewidth: %d\n" % (info.imgheight, info.imgwidth))
+    w("component count: %d\n" % info.cmpc)
+    w("mcu count: %d/%d/%d (all/v/h)\n\n" % (info.mcuc, info.mcuv,
+                                               info.mcuh))
+    w("\nfile header structure:\n")
+    w(" type  length   hpos\n")
+    hdr = parsed.hdrdata
+    hpos = 0
+    while hpos < len(hdr):
+        t = hdr[hpos + 1] if hpos + 1 < len(hdr) else 0
+        ln = 2 + ((hdr[hpos + 2] << 8 if hpos + 2 < len(hdr) else 0)
+                  + (hdr[hpos + 3] if hpos + 3 < len(hdr) else 0))
+        w(" FF%2X  %6d %6d\n" % (t, ln, hpos))
+        hpos += ln
+    w(" _END       0 %6d\n\n" % hpos)
+    for c in range(info.cmpc):
+        ci = info.cmpnfo[c]
+        w("\ncomponent number %d ->\n" % c)
+        w("sample factors: %d/%d (v/h)\n" % (ci.sfv, ci.sfh))
+        w("blocks per mcu: %d\n" % ci.mbs)
+        w("block count (mcu): %d/%d/%d (all/v/h)\n" % (ci.bc, ci.bcv,
+                                                        ci.bch))
+        w("block count (sng): %d/%d/%d (all/v/h)\n" % (ci.nc, ci.ncv,
+                                                        ci.nch))
+        q = info.qtables[ci.qtable_index]
+        w("quantiser table ->")
+        for i in range(64):
+            if i % 8 == 0:
+                w("\n")
+            w("%4d, " % q[i])
+        w("\n\n")
+
+
 def _process(data: bytes, opts) -> tuple:
     from .api import LeptonError, compress_any, decompress_all
     kind = sniff(data)
@@ -362,6 +408,9 @@ def _process(data: bytes, opts) -> tuple:
         kind = "jpeg"
     if opts.get("trunc") and kind == "jpeg":
         data = data[:opts["trunc"]]
+    if opts.get("info") and kind == "jpeg":
+        _write_info(data)
+        sys.exit(0)
     if kind == "jpeg" and opts.get("ujg"):
         from .api import ujg_compress
         return ujg_compress(
