@@ -165,6 +165,11 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
     timing.mark("TS_READ_FINISHED")
     parsed = parse_jpeg(jpeg_data, embedding=embedding)
     info = image_info_from_header(parsed.hdrdata)
+    if info.cmpc > 3:
+        # the model has 3 color slots (ColorChannel::NumBlockTypes without
+        # ALLOW_FOUR_COLORS); the reference exits UNSUPPORTED_4_COLORS=4
+        from .jpeg.imageinfo import UnsupportedJpeg
+        raise UnsupportedJpeg("4 colors unsupported")
     timing.mark("TS_JPEG_DECODE_STARTED")
     dec = decode_scans(parsed, info, allow_progressive=allow_progressive)
     timing.mark("TS_JPEG_DECODE_FINISHED")

@@ -58,3 +58,26 @@ def test_zero_length_and_tiny_jpegs():
     for blob in (b"", b"\xff", b"\xff\xd8", b"\xff\xd8\xff\xd9"):
         with pytest.raises(Exception):
             compress(blob)
+
+
+def test_four_component_rejected():
+    """4-component (CMYK) JPEGs exit UNSUPPORTED_4_COLORS like the
+    reference's 3-slot model build (memory.hh: code 4)."""
+    base = open(os.path.join(IMAGES, "nofsync.jpg"), "rb").read()
+    # patch SOF0 to claim 4 components (parse-level check; the scan data
+    # no longer matches, but the guard fires before scan decode)
+    i = base.find(b"\xff\xc0")
+    assert i > 0
+    ncomp_off = i + 9
+    patched = bytearray(base)
+    old_len = (base[i + 2] << 8) | base[i + 3]
+    patched[ncomp_off] = 4
+    patched[i + 2:i + 4] = ((old_len + 3)).to_bytes(2, "big")
+    patched[ncomp_off + 1:ncomp_off + 1] = bytes([4, 0x11, 0])
+    from lepton_tpu.util.exitcodes import ExitCode, classify
+    try:
+        compress(bytes(patched))
+        raise AssertionError("expected rejection")
+    except Exception as e:
+        assert classify(e) in (ExitCode.UNSUPPORTED_4_COLORS,
+                               ExitCode.UNSUPPORTED_JPEG)
