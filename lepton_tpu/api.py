@@ -586,3 +586,76 @@ def ujg_decompress(ujg_data: bytes) -> bytes:
         hdr.hdrdata, planes, handoffs, info2, hdr.padbit, hdr.rst_cnt,
         hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
         hdr.prefix_garbage, hdr.embedded_jpeg)
+
+
+def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
+                 window: int = 8) -> bytes:
+    """TPU-path encode: entropy phase-B runs on the accelerator.
+
+    Pipeline (SURVEY.md section 7 two-phase design): host JPEG parse +
+    Huffman decode, native symbolization per segment (branch-index/bit
+    streams), then the adaptive VPX coding of ALL segments in lockstep on
+    TPU lanes (kernels.vpx_scan.encode_streams_windowed), host carry
+    resolution + container.  Output decodes with decompress() and the
+    reference binary alike; with matching segment counts it is
+    byte-identical to the host encoder's.
+    """
+    import jax
+
+    from . import _native
+    from .kernels import vpx_scan
+
+    parsed = parse_jpeg(jpeg_data)
+    info = image_info_from_header(parsed.hdrdata)
+    if info.cmpc > 3:
+        from .jpeg.imageinfo import UnsupportedJpeg
+        raise UnsupportedJpeg("4 colors unsupported")
+    dec = decode_scans(parsed, info)
+    if not dec.is_baseline:
+        raise LeptonError("compress_tpu handles baseline JPEGs")
+    row_handoffs = dec.handoffs
+    fb_size = row_handoffs[-1].segment_size - row_handoffs[0].segment_size
+    num_threads = choose_num_threads(len(row_handoffs), fb_size,
+                                     num_segments, 1)
+    splits = select_splits(row_handoffs, num_threads, False)
+    max_heights, comp_sizes = _truncation_geometry(info, dec)
+    native = _native_image(info, dec.planes, max_heights, comp_sizes)
+    if native is None:
+        raise LeptonError("native symbolizer unavailable")
+    _apply_model_env()
+
+    segs = []
+    jobs = []
+    for i, th in enumerate(splits):
+        is_last = i == len(splits) - 1
+        end_y = (splits[i + 1].luma_y_start if not is_last
+                 else info.cmpnfo[0].bcv)
+        jobs.append((th.luma_y_start, end_y, is_last))
+        segs.append(_native.native_symbolize_segment(
+            native, th.luma_y_start, end_y, is_last))
+
+    idxs, bits = vpx_scan.build_symbol_streams(segs)
+    out = vpx_scan.encode_streams_windowed(jax.device_put(idxs),
+                                           jax.device_put(bits),
+                                           window=window)
+    emit, byte, carry, nbytes = [np.asarray(x) for x in out]
+    streams = vpx_scan.finalize_streams(emit, byte, carry, nbytes)
+
+    hdr = LeptonHeader()
+    hdr.version = 1
+    hdr.mode = ord("Z")
+    hdr.num_threads = num_threads
+    hdr.original_size = parsed.jpgfilesize
+    hdr.hdrdata = parsed.hdrdata
+    hdr.padbit = dec.padbit
+    hdr.handoffs = splits
+    hdr.rst_cnt = parsed.rst_cnt
+    hdr.rst_err = parsed.rst_err
+    hdr.garbage = parsed.garbage if parsed.garbage else b"\xff\xd9"
+    hdr.early_eof = dec.early_eof
+    if dec.early_eof:
+        hdr.max_cmp = dec.max_cmp
+        hdr.max_bpos = dec.max_bpos
+        hdr.max_sah = dec.max_sah
+        hdr.max_dpos = dec.max_dpos
+    return write_container(hdr, mux_streams(streams, hdr.version))

@@ -70,3 +70,14 @@ def test_windowed_scan_matches_per_symbol():
     o2 = V.encode_streams_windowed(idxs, bits)
     for a, b in zip(o1, o2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compress_tpu_byte_identical(ref_images=None):
+    """compress_tpu (phase-B entropy coding on accelerator lanes) must
+    produce byte-identical .lep files to the host encoder."""
+    import os
+    from lepton_tpu.api import compress, compress_tpu, decompress
+    data = open("/root/reference/images/nofsync.jpg", "rb").read()
+    t = compress_tpu(data, num_segments=8)
+    assert t == compress(data)
+    assert decompress(t) == data
