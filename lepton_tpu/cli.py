@@ -204,7 +204,7 @@ def main(argv=None) -> int:
         data = sys.stdin.buffer.read()
         try:
             out, _ = _process(data, opts)
-        except SystemExit:
+        except (SystemExit, KeyboardInterrupt):
             raise
         except BaseException as e:  # zero-byte output contract
             if opts["verbosity"] > 0:
@@ -217,7 +217,7 @@ def main(argv=None) -> int:
     try:
         data = open(infile, "rb").read() if infile != "-" else \
             sys.stdin.buffer.read()
-    except SystemExit:
+    except (SystemExit, KeyboardInterrupt):
         raise
     except BaseException as e:
         if opts["verbosity"] > 0:
@@ -255,7 +255,7 @@ def main(argv=None) -> int:
 
     try:
         out, kind = _process(data, opts)
-    except SystemExit:
+    except (SystemExit, KeyboardInterrupt):
         raise
     except BaseException as e:  # zero-byte output contract (README:62-64)
         if opts["verbosity"] > 0:
