@@ -58,11 +58,17 @@ def bench_host():
             continue
         data = open(path, "rb").read()
         try:
-            t0 = time.perf_counter()
-            lep = compress(data, allow_progressive=True)
-            t1 = time.perf_counter()
-            out = decompress(lep)
-            t2 = time.perf_counter()
+            # best-of-2 per stage: the 1-vCPU host jitters +-15%, and a
+            # single sample per file makes the aggregate noisy
+            et = dt = 1e18
+            for _ in range(2):
+                t0 = time.perf_counter()
+                lep = compress(data, allow_progressive=True)
+                t1 = time.perf_counter()
+                out = decompress(lep)
+                t2 = time.perf_counter()
+                et = min(et, t1 - t0)
+                dt = min(dt, t2 - t1)
         except Exception as e:
             failures.append(f"{name}: {e!r}")
             continue
@@ -71,8 +77,8 @@ def bench_host():
             continue
         n_files += 1
         total_bytes += len(data)
-        enc_time += t1 - t0
-        dec_time += t2 - t1
+        enc_time += et
+        dec_time += dt
         ratios.append(len(lep) / len(data))
     mb = total_bytes / 1e6
     return dict(

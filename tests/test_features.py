@@ -234,3 +234,20 @@ def test_custom_model_roundtrip(ref_images, tmp_path):
     # the model must fail or mismatch)
     plain = compress(data)
     assert open(lep, "rb").read() != plain
+
+
+def test_thread_pool_segment_path():
+    """Exercise the multi-worker segment path (taken on multi-CPU hosts):
+    results must match the serial path bit-for-bit."""
+    from lepton_tpu import api
+    data = open(os.path.join("/root/reference/images", "iphonecrop.jpg"),
+                "rb").read()
+    serial = compress(data)
+    old = api._MAX_WORKERS
+    try:
+        api._MAX_WORKERS = 4
+        pooled = compress(data)
+        assert pooled == serial
+        assert decompress(pooled) == data
+    finally:
+        api._MAX_WORKERS = old
