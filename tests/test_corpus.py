@@ -43,8 +43,12 @@ def test_progressive_roundtrip(ref_images, name):
     assert len(lep) < len(data)
 
 
-@pytest.mark.parametrize("name", ["colorswap.jpg", "narrowrst.jpg",
-                                  "gray2sf.jpg", "trailingrst.jpg"])
+@pytest.mark.parametrize("name", [
+    "colorswap.jpg", "narrowrst.jpg", "gray2sf.jpg", "trailingrst.jpg",
+    "nofsync.jpg", "androidcrop.jpg", "androidtrail.jpg", "android.jpg",
+    "iphonecrop2.jpg", "grayscale.jpg", "iphonecrop.jpg",
+    "androidcropoptions.jpg", "trailingrst2.jpg", "singlerowtrunc.jpg",
+    "truncatedzerorun.jpg"])
 def test_lep_byte_identical_to_reference(ref_images, ref_binary, name, tmp_path):
     src = os.path.join(ref_images, name)
     data = open(src, "rb").read()
@@ -55,7 +59,9 @@ def test_lep_byte_identical_to_reference(ref_images, ref_binary, name, tmp_path)
     assert compress(data) == ref_lep.read_bytes()
 
 
-@pytest.mark.parametrize("name", ["nofsync.jpg", "narrowrst.jpg"])
+@pytest.mark.parametrize("name", ["nofsync.jpg", "narrowrst.jpg",
+                                  "android.jpg", "grayscale.jpg",
+                                  "iphonecrop.jpg", "trailingrst.jpg"])
 def test_reference_decodes_our_lep(ref_images, ref_binary, name, tmp_path):
     src = os.path.join(ref_images, name)
     data = open(src, "rb").read()
