@@ -92,3 +92,18 @@ def test_memory_bound_exit_code(tmp_path):
     assert _run([src, lep]).returncode == 0
     r = _run(["-recodememory=1k", lep, str(tmp_path / "m.jpg")])
     assert r.returncode == 38  # TOO_MUCH_MEMORY_NEEDED
+
+
+def test_memory_envelope(tmp_path):
+    """-memory= is a hard RLIMIT_AS ceiling (jpgcoder.cc:829-894): ample
+    limits succeed, tiny limits fail cleanly with nonzero exit and zero
+    output bytes."""
+    src = os.path.join(IMAGES, "androidcrop.jpg")
+    lep = str(tmp_path / "m.lep")
+    r = _run(["-memory=2048M", "-unjailed", src, lep])
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(lep) > 0
+    out2 = str(tmp_path / "m2.lep")
+    r = _run(["-memory=48M", "-unjailed", src, out2])
+    assert r.returncode != 0
+    assert not os.path.exists(out2) or os.path.getsize(out2) == 0
