@@ -127,3 +127,25 @@ def test_16bit_dqt_roundtrip():
     patched = bytes(out)
     lep = compress(patched)
     assert decompress(lep) == patched
+
+
+def test_grayscale_rst_quirk_verify_gate():
+    """PIL grayscale+restart files can carry an RST numbering quirk that
+    neither we nor the reference re-emit identically (verified: our .lep is
+    byte-identical to the reference's, and the reference also fails its
+    roundtrip, exit 41).  The verify gate must catch it and the permissive
+    wrapper must still store it losslessly."""
+    from lepton_tpu.api import compress_any, decompress_all
+    r = np.random.default_rng(8)
+    arr = r.integers(0, 256, size=(21, 233)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, "JPEG", quality=75, subsampling=2,
+                                   optimize=True, restart_marker_blocks=3)
+    data = buf.getvalue()
+    lep = compress(data)
+    if decompress(lep) == data:
+        pytest.skip("this PIL build did not produce the RST quirk")
+    with pytest.raises(Exception):
+        compress_any(data, verify=True, permissive=False)
+    wrapped = compress_any(data, verify=True, permissive=True)
+    assert decompress_all(wrapped) == data
