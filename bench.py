@@ -93,6 +93,32 @@ def bench_host():
     )
 
 
+def bench_ans_v3():
+    """Native rANS backend (format v3) roundtrip on one mid-size image."""
+    try:
+        from lepton_tpu.api import compress, decompress
+        path = os.path.join(IMAGES_DIR, "iphonecrop.jpg")
+        data = open(path, "rb").read()
+        lep = compress(data, version=3)
+        assert decompress(lep) == data
+        et = dt = 1e18
+        for _ in range(2):
+            t0 = time.perf_counter()
+            lep = compress(data, version=3)
+            t1 = time.perf_counter()
+            out = decompress(lep)
+            t2 = time.perf_counter()
+            et = min(et, t1 - t0)
+            dt = min(dt, t2 - t1)
+        assert out == data
+        mb = len(data) / 1e6
+        return dict(encode_mbps=round(mb / et, 2),
+                    decode_mbps=round(mb / dt, 2),
+                    ratio=round(len(lep) / len(data), 4))
+    except Exception as e:
+        return dict(error=repr(e)[:200])
+
+
 def bench_tpu_phase_a():
     try:
         import jax
@@ -198,6 +224,7 @@ def bench_tpu_phase_b():
 
 def main():
     host = bench_host()
+    ans = bench_ans_v3()
     tpu = bench_tpu_phase_a()
     tpu_b = bench_tpu_phase_b()
     value = host["roundtrip_mbps"]
@@ -207,6 +234,7 @@ def main():
         "unit": "MB/s",
         "vs_baseline": round(value / REFERENCE_ROUNDTRIP_MBPS, 3),
         "host": host,
+        "ans_v3": ans,
         "tpu_phase_a": tpu,
         "tpu_phase_b": tpu_b,
     }
