@@ -9,7 +9,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

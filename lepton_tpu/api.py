@@ -15,13 +15,13 @@ from typing import List, Optional
 import numpy as np
 
 from .codec.driver import ImageData, decode_segment, encode_segment
-from .container.format import (ContainerError, LeptonHeader, read_container,
+from .container.format import (LeptonHeader, read_container,
                                write_container)
 from .container.handoff import choose_num_threads, select_splits
 from .container.mux import MuxReader, mux_streams
-from .jpeg.decoder import DecodedScanData, ThreadHandoff, decode_scans
+from .jpeg.decoder import ThreadHandoff, decode_scans
 from .jpeg.imageinfo import ImageInfo, image_info_from_header
-from .jpeg.parser import ParsedJpeg, parse_jpeg
+from .jpeg.parser import parse_jpeg
 from .jpeg.recoder import recode_baseline_jpeg
 from .model.context import ColorTables
 from .util import timing

@@ -360,7 +360,6 @@ def _write_info(data: bytes) -> None:
     """Structure report for a JPEG (write_info, jpgcoder.cc:5612-5682)."""
     from .jpeg.imageinfo import image_info_from_header
     from .jpeg.parser import parse_jpeg
-    from .constants import RASTER_TO_ZIGZAG
     parsed = parse_jpeg(data)
     info = image_info_from_header(parsed.hdrdata)
     w = sys.stdout.write
@@ -519,7 +518,6 @@ def _lepcat(files) -> int:
 
 
 def _benchmark() -> int:
-    import json
     import subprocess
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run([sys.executable, os.path.join(repo_root, "bench.py")])

@@ -20,7 +20,7 @@ import numpy as np
 from .. import constants as C
 from ..model import context as ctx
 from ..model.branch import next_state_lut, next_state_lut_adv
-from ..model.tables import Model, TABLE_OFFSETS, TABLE_STRIDES
+from ..model.tables import TABLE_OFFSETS, TABLE_STRIDES
 
 _UNZIG49 = [int(v) for v in C.UNZIGZAG49]
 _NZ_BIN = [int(v) for v in C.NONZERO_TO_BIN]

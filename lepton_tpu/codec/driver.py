@@ -11,7 +11,7 @@ Ports the reference's iteration-order contract:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -9,10 +9,8 @@ shifts applied exactly as the reference does (uint16 shift semantics).
 """
 from __future__ import annotations
 
-from typing import List
 
 from ..constants import ZIGZAG_TO_RASTER
-from .bitio import BitReader
 from .huffman import devli
 from .imageinfo import ImageInfo
 
