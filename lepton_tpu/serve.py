@@ -172,6 +172,13 @@ def fork_serve(opts) -> int:
         pid = os.fork()
         if pid == 0:
             try:
+                # jail the worker before touching request bytes, like the
+                # socket children (only the open FIFOs remain reachable)
+                if not opts.get("unjailed"):
+                    from .cli import _prepare_for_jail
+                    from .util.sandbox import install_jail
+                    _prepare_for_jail(opts)
+                    install_jail()
                 chunks = []
                 while True:
                     b = os.read(rfd, 65536)
