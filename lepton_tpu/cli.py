@@ -127,6 +127,11 @@ def main(argv=None) -> int:
             opts["injectsyscall"] = int(arg.split("=", 1)[1])
         elif arg.startswith("-maxencodethreads="):
             opts["max_threads"] = int(arg.split("=", 1)[1])
+            if opts["max_threads"] > 8:
+                # the reference rejects >MAX_NUM_THREADS with exit 13
+                # (jpgcoder.cc:1082-1084); the Python API still encodes up
+                # to 255 format-legal segments for TPU lane batching
+                return 13
         elif arg.startswith("-minencodethreads="):
             opts["min_threads"] = int(arg.split("=", 1)[1])
         elif arg.startswith("-memory="):
