@@ -1306,6 +1306,43 @@ EXPORT int lepton_decode_segment(
  * through two interleaved 64-bit rANS states (ans_bool_writer.hh:21-110,
  * rans64.hh); the decoder streams forward (ans_bool_reader.hh). */
 
+/* exact u64 / freq for freq in [1,256] via Granlund-Montgomery round-up
+ * magic (q = ((mulhi(m,x) + x) >> L), valid for all x) -- the hardware
+ * 64-bit divide would otherwise dominate the rANS encode loop */
+static struct { uint64_t m; uint32_t l; uint32_t pow2; } RANS_DIV[257];
+
+__attribute__((constructor))
+static void init_rans_div(void) {
+    for (uint32_t d = 1; d <= 256; ++d) {
+        uint32_t l = 0;
+        while ((1u << l) < d) ++l;
+        if ((d & (d - 1)) == 0) {
+            RANS_DIV[d].pow2 = l;
+            RANS_DIV[d].m = 0;
+            RANS_DIV[d].l = 0;
+        } else {
+            unsigned __int128 num = ((unsigned __int128)1) << (64 + l);
+            RANS_DIV[d].m = (uint64_t)(num / d + 1);  /* low 64 bits */
+            RANS_DIV[d].l = l;
+            RANS_DIV[d].pow2 = 0xFFFFFFFFu;
+        }
+    }
+}
+
+static inline uint64_t rans_divmod(uint64_t x, uint32_t freq,
+                                   uint64_t *rem) {
+    uint64_t q;
+    if (RANS_DIV[freq].pow2 != 0xFFFFFFFFu) {
+        q = x >> RANS_DIV[freq].pow2;
+    } else {
+        unsigned __int128 t =
+            ((unsigned __int128)RANS_DIV[freq].m * x >> 64) + x;
+        q = (uint64_t)(t >> RANS_DIV[freq].l);
+    }
+    *rem = x - q * freq;
+    return q;
+}
+
 static inline uint64_t rans_enc_put(uint64_t x, uint32_t start,
                                     uint32_t freq, uint32_t **wp) {
     uint64_t x_max = ((RANS64_L >> ANS_SCALE_BITS) << 32) * freq;
@@ -1313,7 +1350,9 @@ static inline uint64_t rans_enc_put(uint64_t x, uint32_t start,
         *--(*wp) = (uint32_t)x;
         x >>= 32;
     }
-    return ((x / freq) << ANS_SCALE_BITS) + (x % freq) + start;
+    uint64_t rem;
+    uint64_t q = rans_divmod(x, freq, &rem);
+    return (q << ANS_SCALE_BITS) + rem + start;
 }
 
 /* serialize the buffered pairs; returns byte length or -1 on overflow */

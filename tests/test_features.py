@@ -251,3 +251,18 @@ def test_thread_pool_segment_path():
         assert decompress(pooled) == data
     finally:
         api._MAX_WORKERS = old
+
+
+def test_ans_v3_corpus_roundtrip(ref_images):
+    """Native rANS backend roundtrips the full supported corpus."""
+    import os as _os
+    skip = {"arithmetic.jpg", "badzerorun.jpg", "roundtripfail.jpg"}
+    n = 0
+    for name in sorted(_os.listdir(ref_images)):
+        if not name.endswith(".jpg") or name in skip:
+            continue
+        data = open(_os.path.join(ref_images, name), "rb").read()
+        lep = compress(data, version=3, allow_progressive=True)
+        assert decompress(lep) == data, name
+        n += 1
+    assert n >= 20
