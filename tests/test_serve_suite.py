@@ -137,3 +137,30 @@ def test_timebound_kills_slow_request(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_concurrent_connections(server):
+    """sockettester.py-style concurrency: several interleaved connections
+    served by forked children under back-pressure."""
+    import threading
+    data1 = open(os.path.join(IMAGES, "nofsync.jpg"), "rb").read()
+    data2 = open(os.path.join(IMAGES, "androidcropoptions.jpg"), "rb").read()
+    results = {}
+
+    def worker(i, payload):
+        s = socket.socket(socket.AF_UNIX)
+        s.connect(server["sock"])
+        results[i] = _pump(s, payload)
+
+    threads = [threading.Thread(target=worker, args=(i, data1 if i % 2
+                                else data2)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 6
+    for i, lep in results.items():
+        assert lep[:2] == b"\xcf\x84", i
+    # identical inputs must give identical outputs
+    assert results[1] == results[3] == results[5]
+    assert results[0] == results[2] == results[4]
