@@ -93,6 +93,65 @@ def bench_host():
     )
 
 
+def measure_reference_live():
+    """Measure the reference binary on the same corpus, same host, same
+    moment: the stored constant below was taken during a fast phase of this
+    noisy VM, so the honest vs_baseline divides by a live same-conditions
+    number whenever the binary can be found or built."""
+    import shutil
+    import subprocess
+    binpath = "/tmp/refbuild/lepton"
+    if not os.path.exists(binpath):
+        try:
+            if not (os.path.isdir("/root/reference")
+                    and shutil.which("cmake") and shutil.which("ninja")):
+                return None
+            os.makedirs("/tmp/refbuild", exist_ok=True)
+            subprocess.run(["cmake", "/root/reference",
+                            "-DCMAKE_BUILD_TYPE=Release", "-G", "Ninja"],
+                           cwd="/tmp/refbuild", capture_output=True,
+                           timeout=600, check=True)
+            subprocess.run(["ninja", "lepton"], cwd="/tmp/refbuild",
+                           capture_output=True, timeout=1200, check=True)
+        except Exception:
+            return None
+    total = 0
+    te = td = 0.0
+    try:
+        for name in CORPUS:
+            src = os.path.join(IMAGES_DIR, name)
+            if not os.path.exists(src):
+                continue
+            n = os.path.getsize(src)
+            lf = "/tmp/_benchref.lep"
+            of = "/tmp/_benchref.jpg"
+            et = dt = 1e18
+            for _ in range(2):
+                t0 = time.perf_counter()
+                r = subprocess.run([binpath, "-skipverify", "-unjailed",
+                                    "-allowprogressive", src, lf],
+                                   capture_output=True, timeout=600)
+                t1 = time.perf_counter()
+                if r.returncode != 0:
+                    raise RuntimeError(name)
+                t2 = time.perf_counter()
+                r = subprocess.run([binpath, "-unjailed", lf, of],
+                                   capture_output=True, timeout=600)
+                t3 = time.perf_counter()
+                if r.returncode != 0:
+                    raise RuntimeError(name)
+                et = min(et, t1 - t0)
+                dt = min(dt, t3 - t2)
+            total += n
+            te += et
+            td += dt
+    except Exception:
+        return None
+    if not total or not (te + td):
+        return None
+    return round(2 * (total / 1e6) / (te + td), 2)
+
+
 def bench_ans_v3():
     """Native rANS backend (format v3) roundtrip on one mid-size image."""
     try:
@@ -224,15 +283,20 @@ def bench_tpu_phase_b():
 
 def main():
     host = bench_host()
+    ref_live = measure_reference_live()
     ans = bench_ans_v3()
     tpu = bench_tpu_phase_a()
     tpu_b = bench_tpu_phase_b()
     value = host["roundtrip_mbps"]
+    baseline = ref_live if ref_live else REFERENCE_ROUNDTRIP_MBPS
     result = {
         "metric": "corpus encode+decode roundtrip throughput (bit-exact)",
         "value": value,
         "unit": "MB/s",
-        "vs_baseline": round(value / REFERENCE_ROUNDTRIP_MBPS, 3),
+        "vs_baseline": round(value / baseline, 3),
+        "baseline_mbps": baseline,
+        "baseline_source": "reference binary measured live on this host"
+        if ref_live else "stored (BASELINE.md)",
         "host": host,
         "ans_v3": ans,
         "tpu_phase_a": tpu,
