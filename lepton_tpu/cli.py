@@ -258,6 +258,8 @@ def main(argv=None) -> int:
         else:
             _native.inject_on_decode = True
 
+    import time as _time
+    _t0 = _time.perf_counter()
     try:
         out, kind = _process(data, opts)
     except (SystemExit, KeyboardInterrupt):
@@ -266,12 +268,20 @@ def main(argv=None) -> int:
         if opts["verbosity"] > 0:
             _err(f"{type(e).__name__}: {e}")
         return int(classify(e))
+    _elapsed_ms = max(1, int((_time.perf_counter() - _t0) * 1000))
     out_f.write(out)
     if out_f is not sys.stdout.buffer:
         out_f.close()
     if opts["verbosity"] > 0 and kind == "jpeg":
         _err(f"{len(out)} {len(data)}")
         _err(f"{100.0 * len(out) / max(len(data), 1):.2f}%")
+        # summary block (jpgcoder.cc:806-817)
+        _err(" --------------------------------- ")
+        _err(f" time taken        : {_elapsed_ms:8d} msec")
+        _err(f" avrg. byte per ms : {len(data) // _elapsed_ms:8d} byte")
+        _err(f" avrg. comp. ratio : "
+             f"{100.0 * len(out) / max(len(data), 1):8.2f} %")
+        _err(" --------------------------------- ")
     if opts["verbosity"] >= 2 and kind == "jpeg":
         _print_bill(data, out)
     if opts.get("timing_log"):
