@@ -442,8 +442,8 @@ class StreamDecoder:
         self._run = lib.lepton_stream_decoder_run
         self._run.argtypes = [ctypes.c_void_p, ctypes.c_int]
         self._data = np.frombuffer(data, dtype=np.uint8)  # keep alive
-        masks = np.asarray(list(row_masks) + [0x7FFFFFFF] * 3,
-                           dtype=np.int32)[:3]
+        masks = np.asarray(list(row_masks) + [0x7FFFFFFF] * 4,
+                           dtype=np.int32)[:4]
         self._handle = lib.lepton_stream_decoder_create(
             img.plane_ptrs, img.widths, img.heights, img.comp_sizes,
             img.max_heights, img.ncomp, img.mcuv, img.color_ptrs,

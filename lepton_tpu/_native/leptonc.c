@@ -1129,16 +1129,16 @@ static void decode_block(Coder *c, const CompCtx *cc, int16_t *here,
 /* ------------------------------------------------------- segment drivers */
 
 typedef struct {
-    int16_t *planes[3];
-    int32_t widths[3], heights[3];
-    int32_t comp_sizes[3];
-    int32_t max_coded_heights[3];
-    int ncomp, mcuv;
-    const ColorTables *colors[3];
+    int16_t *planes[4];
+    int32_t widths[4], heights[4];
+    int32_t comp_sizes[4];
+    int32_t max_coded_heights[4];
+    int ncomp, nslots, mcuv;
+    const ColorTables *colors[4];
     /* plane row indexing mask: 0x7fffffff = full framebuffer; small
        power-of-two-minus-1 = sliding-window ring (the reference's 2-row
        memory-optimized mode, block_based_image.hh:52-121 off_y) */
-    int32_t row_mask[3];
+    int32_t row_mask[4];
 } Image;
 
 typedef struct {
@@ -1147,9 +1147,10 @@ typedef struct {
 } RowSpec;
 
 static RowSpec row_spec_from_index(int decode_index, const Image *im) {
-    /* lepton_codec.hh:41-100 */
-    int cm[3], mcu_multiple = 0;
-    for (int i = 0; i < 3; ++i) {
+    /* lepton_codec.hh:41-100; nslots = NumBlockTypes (3, or 4 for CMYK) */
+    int nslots = im->nslots;
+    int cm[4], mcu_multiple = 0;
+    for (int i = 0; i < nslots; ++i) {
         cm[i] = im->heights[i] ? im->heights[i] / im->mcuv : 0;
         mcu_multiple += cm[i];
     }
@@ -1160,8 +1161,8 @@ static RowSpec row_spec_from_index(int decode_index, const Image *im) {
     spec.min_row_luma_y = mcu_row * cm[0];
     spec.next_row_luma_y = spec.min_row_luma_y + cm[0];
     spec.luma_y = spec.min_row_luma_y;
-    spec.component = 3;
-    for (int i = 2;; --i) {
+    spec.component = nslots;
+    for (int i = nslots - 1;; --i) {
         if (place < cm[i]) {
             spec.component = i;
             spec.curr_y = mcu_row * cm[i] + place;
@@ -1169,7 +1170,7 @@ static RowSpec row_spec_from_index(int decode_index, const Image *im) {
             if (spec.curr_y >= im->max_coded_heights[i]) {
                 spec.skip = 1;
                 spec.done = 1;
-                for (int j = 0; j < 2; ++j)
+                for (int j = 0; j < nslots - 1; ++j)
                     if (mcu_row * cm[j] < im->max_coded_heights[j])
                         spec.done = 0;
             }
@@ -1184,8 +1185,8 @@ static RowSpec row_spec_from_index(int decode_index, const Image *im) {
 
 typedef struct {
     uint8_t *arena;
-    Summary *rings[3];    /* 2*width entries per component */
-    int is_top_row[3];
+    Summary *rings[4];    /* 2*width entries per component */
+    int is_top_row[4];
 } SegState;
 
 static void process_row(const Image *im, SegState *st, Coder *c, int comp,
@@ -1226,7 +1227,7 @@ static int run_segment(const Image *im, Coder *c, int min_y, int max_y,
     SegState st;
     st.arena = c->arena;
     int err = 0;
-    for (int i = 0; i < 3; ++i) {
+    for (int i = 0; i < 4; ++i) {
         st.is_top_row[i] = 1;
         int w = i < im->ncomp ? im->widths[i] : 0;
         st.rings[i] = w ? (Summary *)calloc(2 * (size_t)w, sizeof(Summary))
@@ -1243,7 +1244,7 @@ static int run_segment(const Image *im, Coder *c, int min_y, int max_y,
         if (spec.luma_y < min_y) continue;
         process_row(im, &st, c, spec.component, spec.curr_y, encode, &err);
     }
-    for (int i = 0; i < 3; ++i) free(st.rings[i]);
+    for (int i = 0; i < 4; ++i) free(st.rings[i]);
     return err;
 }
 
@@ -1257,7 +1258,8 @@ EXPORT int64_t lepton_encode_segment(
     memset(&im, 0, sizeof(im));
     im.ncomp = ncomp;
     im.mcuv = mcuv;
-    for (int i = 0; i < 3; ++i) {
+    im.nslots = ncomp == 4 ? 4 : 3;
+    for (int i = 0; i < 4; ++i) {
         im.planes[i] = i < ncomp ? planes[i] : NULL;
         im.widths[i] = i < ncomp ? widths[i] : 0;
         im.heights[i] = i < ncomp ? heights[i] : 0;
@@ -1286,7 +1288,8 @@ EXPORT int lepton_decode_segment(
     memset(&im, 0, sizeof(im));
     im.ncomp = ncomp;
     im.mcuv = mcuv;
-    for (int i = 0; i < 3; ++i) {
+    im.nslots = ncomp == 4 ? 4 : 3;
+    for (int i = 0; i < 4; ++i) {
         im.planes[i] = i < ncomp ? planes[i] : NULL;
         im.widths[i] = i < ncomp ? widths[i] : 0;
         im.heights[i] = i < ncomp ? heights[i] : 0;
@@ -1406,7 +1409,8 @@ EXPORT int64_t lepton_encode_segment_ans(
     memset(&im, 0, sizeof(im));
     im.ncomp = ncomp;
     im.mcuv = mcuv;
-    for (int i = 0; i < 3; ++i) {
+    im.nslots = ncomp == 4 ? 4 : 3;
+    for (int i = 0; i < 4; ++i) {
         im.planes[i] = i < ncomp ? planes[i] : NULL;
         im.widths[i] = i < ncomp ? widths[i] : 0;
         im.heights[i] = i < ncomp ? heights[i] : 0;
@@ -1437,7 +1441,8 @@ EXPORT int lepton_decode_segment_ans(
     memset(&im, 0, sizeof(im));
     im.ncomp = ncomp;
     im.mcuv = mcuv;
-    for (int i = 0; i < 3; ++i) {
+    im.nslots = ncomp == 4 ? 4 : 3;
+    for (int i = 0; i < 4; ++i) {
         im.planes[i] = i < ncomp ? planes[i] : NULL;
         im.widths[i] = i < ncomp ? widths[i] : 0;
         im.heights[i] = i < ncomp ? heights[i] : 0;
@@ -1483,7 +1488,8 @@ EXPORT StreamDecoder *lepton_stream_decoder_create(
     if (!sd) return NULL;
     sd->im.ncomp = ncomp;
     sd->im.mcuv = mcuv;
-    for (int i = 0; i < 3; ++i) {
+    sd->im.nslots = ncomp == 4 ? 4 : 3;
+    for (int i = 0; i < 4; ++i) {
         sd->im.planes[i] = i < ncomp ? planes[i] : NULL;
         sd->im.widths[i] = i < ncomp ? widths[i] : 0;
         sd->im.heights[i] = i < ncomp ? heights[i] : 0;
@@ -1527,7 +1533,7 @@ EXPORT int lepton_stream_decoder_run(StreamDecoder *sd, int until_luma_y) {
 
 EXPORT void lepton_stream_decoder_destroy(StreamDecoder *sd) {
     if (!sd) return;
-    for (int i = 0; i < 3; ++i) free(sd->st.rings[i]);
+    for (int i = 0; i < 4; ++i) free(sd->st.rings[i]);
     free(sd->arena);
     free(sd);
 }
@@ -2125,7 +2131,8 @@ EXPORT int64_t lepton_symbolize_segment(
     memset(&im, 0, sizeof(im));
     im.ncomp = ncomp;
     im.mcuv = mcuv;
-    for (int i = 0; i < 3; ++i) {
+    im.nslots = ncomp == 4 ? 4 : 3;
+    for (int i = 0; i < 4; ++i) {
         im.planes[i] = i < ncomp ? planes[i] : NULL;
         im.widths[i] = i < ncomp ? widths[i] : 0;
         im.heights[i] = i < ncomp ? heights[i] : 0;

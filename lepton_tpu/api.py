@@ -157,7 +157,8 @@ def _filter_header_second_block(hdrdata: bytes) -> bytes:
 def compress(jpeg_data: bytes, max_threads: int = 8,
              min_threads: int = 1, even_split: bool = False,
              allow_progressive: bool = False, version: int = 1,
-             start_byte: int = 0, embedding: int = 0) -> bytes:
+             start_byte: int = 0, embedding: int = 0,
+             allow_four_colors: bool = False) -> bytes:
     ans = version == 3
     if start_byte:
         # a mid-file slice is always re-emitted sequentially (jpgcoder.cc:1205)
@@ -165,9 +166,11 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
     timing.mark("TS_READ_FINISHED")
     parsed = parse_jpeg(jpeg_data, embedding=embedding)
     info = image_info_from_header(parsed.hdrdata)
-    if info.cmpc > 3:
-        # the model has 3 color slots (ColorChannel::NumBlockTypes without
-        # ALLOW_FOUR_COLORS); the reference exits UNSUPPORTED_4_COLORS=4
+    if info.cmpc > 3 and not allow_four_colors:
+        # default parity with the reference's 3-slot build, which exits
+        # UNSUPPORTED_4_COLORS=4; allow_four_colors engages the CMYK path
+        # (the ALLOW_FOUR_COLORS build: 4th plane on the chroma model
+        # class, BLOCK_TYPES stays 2 so the arena is unchanged)
         from .jpeg.imageinfo import UnsupportedJpeg
         raise UnsupportedJpeg("4 colors unsupported")
     timing.mark("TS_JPEG_DECODE_STARTED")

@@ -94,6 +94,8 @@ def main(argv=None) -> int:
             opts["singlethread"] = True
         elif arg == "-allowprogressive":
             opts["allow_progressive"] = True
+        elif arg == "-allowfourcolors":
+            opts["allow_four_colors"] = True
         elif arg == "-rejectprogressive":
             opts["allow_progressive"] = False
         elif arg in ("-skipverify", "-skiproundtrip", "-skipvalidate"):
@@ -437,7 +439,8 @@ def _process(data: bytes, opts) -> tuple:
             allow_progressive=opts["allow_progressive"],
             version=opts["version"],
             start_byte=opts.get("start_byte", 0),
-            embedding=opts.get("embedding", 0))
+            embedding=opts.get("embedding", 0),
+            allow_four_colors=opts.get("allow_four_colors", False))
         return out, "jpeg"
     if kind == "ujg":
         from .api import ujg_decompress

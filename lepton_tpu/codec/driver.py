@@ -37,9 +37,11 @@ class RowSpec:
 
 
 def row_spec_from_index(decode_index: int, heights, mcuv: int,
-                        max_coded_heights) -> RowSpec:
-    """Exact port of LeptonCodec_row_spec_from_index (lepton_codec.hh:41)."""
-    num_cmp = NUM_CMP_SLOTS
+                        max_coded_heights, num_cmp: int = None) -> RowSpec:
+    """Exact port of LeptonCodec_row_spec_from_index (lepton_codec.hh:41).
+    num_cmp = NumBlockTypes: 3, or 4 for CMYK (ALLOW_FOUR_COLORS)."""
+    if num_cmp is None:
+        num_cmp = 4 if len([h for h in heights if h]) == 4 else NUM_CMP_SLOTS
     component_multiple = [0] * num_cmp
     mcu_multiple = 0
     for i in range(num_cmp):
@@ -83,7 +85,7 @@ class SegmentState:
 
     def __init__(self, widths):
         self.model = Model()
-        self.is_top_row = [True] * NUM_CMP_SLOTS
+        self.is_top_row = [True] * max(NUM_CMP_SLOTS, len(widths))
         # 2-row ring of summaries: [comp][ring][x] -> [nz, edge_pixels int16[16]]
         self.summaries = []
         for w in widths:
@@ -103,15 +105,16 @@ class ImageData:
         self.colors = colors
         self.mcuv = mcuv
         self.ncomp = len(planes)
-        self.heights = [0] * NUM_CMP_SLOTS
-        self.widths = [0] * NUM_CMP_SLOTS
+        nslots = max(NUM_CMP_SLOTS, self.ncomp)
+        self.heights = [0] * nslots
+        self.widths = [0] * nslots
         for i, p in enumerate(planes):
             self.heights[i] = p.shape[0]
             self.widths[i] = p.shape[1]
         if max_coded_heights is None:
             max_coded_heights = list(self.heights)
-        self.max_coded_heights = list(max_coded_heights) + [0] * (
-            NUM_CMP_SLOTS - len(max_coded_heights))
+        self.max_coded_heights = list(max_coded_heights) + [0] * max(
+            0, nslots - len(max_coded_heights))
         if component_sizes is None:
             component_sizes = [p.shape[0] * p.shape[1] for p in planes]
         self.component_sizes = component_sizes

@@ -149,3 +149,72 @@ def test_grayscale_rst_quirk_verify_gate():
         compress_any(data, verify=True, permissive=False)
     wrapped = compress_any(data, verify=True, permissive=True)
     assert decompress_all(wrapped) == data
+
+
+def _cmyk_jpeg(seed=1, w=120, h=80, **kw):
+    r = np.random.default_rng(seed)
+    arr = r.integers(0, 256, size=(h, w, 4)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "CMYK").save(buf, "JPEG", quality=85, **kw)
+    return buf.getvalue()
+
+
+def test_cmyk_roundtrip():
+    """4-component (CMYK) JPEGs: 4th plane on the chroma model class
+    (ALLOW_FOUR_COLORS parity — BLOCK_TYPES stays 2, arena unchanged)."""
+    from lepton_tpu.api import compress as _c
+    data = _cmyk_jpeg()
+    with pytest.raises(Exception):
+        _c(data)  # default build parity: rejected
+    lep = _c(data, allow_four_colors=True)
+    assert decompress(lep) == data
+    assert len(lep) < len(data)
+    # v3 backend too
+    lep3 = _c(data, allow_four_colors=True, version=3)
+    assert decompress(lep3) == data
+
+
+REF4C = "/tmp/refbuild-4c/lepton"
+
+
+@pytest.mark.skipif(not os.path.exists(REF4C),
+                    reason="no ALLOW_FOUR_COLORS reference build")
+def test_cmyk_reference_interop(tmp_path):
+    """Byte-identity + bidirectional interop with the reference built with
+    -DALLOW_FOUR_COLORS."""
+    data = _cmyk_jpeg(seed=7)
+    src = tmp_path / "c.jpg"
+    src.write_bytes(data)
+    ref_lep = tmp_path / "c_ref.lep"
+    r = subprocess.run([REF4C, "-unjailed", "-skipverify", str(src),
+                        str(ref_lep)], capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    ours = compress(data, allow_four_colors=True)
+    assert ours == ref_lep.read_bytes()
+    out = tmp_path / "c_out.jpg"
+    our_lep = tmp_path / "c_ours.lep"
+    our_lep.write_bytes(ours)
+    r = subprocess.run([REF4C, "-unjailed", str(our_lep), str(out)],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0 and out.read_bytes() == data
+    assert decompress(ref_lep.read_bytes()) == data
+
+
+def test_cmyk_cli(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lepton = os.path.join(repo, "lepton")
+    src = str(tmp_path / "c.jpg")
+    open(src, "wb").write(_cmyk_jpeg(seed=9))
+    r = subprocess.run([lepton, src, str(tmp_path / "c.lep")],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 4  # UNSUPPORTED_4_COLORS without the flag
+    r = subprocess.run([lepton, "-allowfourcolors", src,
+                        str(tmp_path / "c.lep")], capture_output=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run([lepton, str(tmp_path / "c.lep"),
+                        str(tmp_path / "c_out.jpg")], capture_output=True,
+                       timeout=300)
+    assert r.returncode == 0
+    assert open(str(tmp_path / "c_out.jpg"), "rb").read() == \
+        open(src, "rb").read()
