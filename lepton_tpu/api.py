@@ -592,7 +592,8 @@ def ujg_decompress(ujg_data: bytes) -> bytes:
 
 
 def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
-                 window: int = 8) -> bytes:
+                 window: int = 8, allow_progressive: bool = False,
+                 allow_four_colors: bool = False) -> bytes:
     """TPU-path encode: entropy phase-B runs on the accelerator.
 
     Pipeline (SURVEY.md section 7 two-phase design): host JPEG parse +
@@ -610,12 +611,10 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
 
     parsed = parse_jpeg(jpeg_data)
     info = image_info_from_header(parsed.hdrdata)
-    if info.cmpc > 3:
+    if info.cmpc > 3 and not allow_four_colors:
         from .jpeg.imageinfo import UnsupportedJpeg
         raise UnsupportedJpeg("4 colors unsupported")
-    dec = decode_scans(parsed, info)
-    if not dec.is_baseline:
-        raise LeptonError("compress_tpu handles baseline JPEGs")
+    dec = decode_scans(parsed, info, allow_progressive=allow_progressive)
     row_handoffs = dec.handoffs
     fb_size = row_handoffs[-1].segment_size - row_handoffs[0].segment_size
     num_threads = choose_num_threads(len(row_handoffs), fb_size,
@@ -646,7 +645,7 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
 
     hdr = LeptonHeader()
     hdr.version = 1
-    hdr.mode = ord("Z")
+    hdr.mode = ord("Z") if dec.is_baseline else ord("X")
     hdr.num_threads = num_threads
     hdr.original_size = parsed.jpgfilesize
     hdr.hdrdata = parsed.hdrdata

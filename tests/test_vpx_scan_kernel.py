@@ -81,3 +81,7 @@ def test_compress_tpu_byte_identical(ref_images=None):
     t = compress_tpu(data, num_segments=8)
     assert t == compress(data)
     assert decompress(t) == data
+    pdata = open("/root/reference/images/iphoneprogressive.jpg", "rb").read()
+    tp = compress_tpu(pdata, num_segments=8, allow_progressive=True)
+    assert tp == compress(pdata, allow_progressive=True)
+    assert decompress(tp) == pdata
