@@ -484,32 +484,40 @@ EXPORT int lepton_color_tables_size(void) { return (int)sizeof(ColorTables); }
 enum { W1 = 2841, W2 = 2676, W3 = 2408, W5 = 1609, W6 = 1108, W7 = 565,
        R2 = 181 };
 
+/* int32 wraparound arithmetic written as well-defined uint32 ops (the
+ * reference relies on signed overflow wrapping; we make it explicit) */
+static inline uint32_t asr32(uint32_t v, int n) {
+    return (uint32_t)((int32_t)v >> n);
+}
+#define IMUL(a, b) ((uint32_t)(a) * (uint32_t)(b))
+
+
 static void idct_block(const int16_t *coef, const uint16_t *q,
                        int16_t out[64], int ignore_dc) {
-    /* idct.cc:36-160 scalar path */
-    int32_t inter[64];
+    /* idct.cc:36-160 scalar path; all arithmetic in uint32 wraparound */
+    uint32_t inter[64];
     for (int y = 0; y < 8; ++y) {
         int y8 = y * 8;
-        int32_t x0 = ((ignore_dc && y == 0) ? 0
-                      : (coef[y8] * q[y8]) << 11) + 128;
-        int32_t x1 = (coef[y8 + 4] * q[y8 + 4]) << 11;
-        int32_t x2 = coef[y8 + 6] * q[y8 + 6];
-        int32_t x3 = coef[y8 + 2] * q[y8 + 2];
-        int32_t x4 = coef[y8 + 1] * q[y8 + 1];
-        int32_t x5 = coef[y8 + 7] * q[y8 + 7];
-        int32_t x6 = coef[y8 + 5] * q[y8 + 5];
-        int32_t x7 = coef[y8 + 3] * q[y8 + 3];
-        int32_t x8 = W7 * (x4 + x5);
-        x4 = x8 + (W1 - W7) * x4;
-        x5 = x8 - (W1 + W7) * x5;
-        x8 = W3 * (x6 + x7);
-        x6 = x8 - (W3 - W5) * x6;
-        x7 = x8 - (W3 + W5) * x7;
+        uint32_t x0 = ((ignore_dc && y == 0) ? 0u
+                       : IMUL(coef[y8], q[y8]) << 11) + 128u;
+        uint32_t x1 = IMUL(coef[y8 + 4], q[y8 + 4]) << 11;
+        uint32_t x2 = IMUL(coef[y8 + 6], q[y8 + 6]);
+        uint32_t x3 = IMUL(coef[y8 + 2], q[y8 + 2]);
+        uint32_t x4 = IMUL(coef[y8 + 1], q[y8 + 1]);
+        uint32_t x5 = IMUL(coef[y8 + 7], q[y8 + 7]);
+        uint32_t x6 = IMUL(coef[y8 + 5], q[y8 + 5]);
+        uint32_t x7 = IMUL(coef[y8 + 3], q[y8 + 3]);
+        uint32_t x8 = IMUL(W7, x4 + x5);
+        x4 = x8 + IMUL(W1 - W7, x4);
+        x5 = x8 - IMUL(W1 + W7, x5);
+        x8 = IMUL(W3, x6 + x7);
+        x6 = x8 - IMUL(W3 - W5, x6);
+        x7 = x8 - IMUL(W3 + W5, x7);
         x8 = x0 + x1;
         x0 -= x1;
-        x1 = W6 * (x3 + x2);
-        x2 = x1 - (W2 + W6) * x2;
-        x3 = x1 + (W2 - W6) * x3;
+        x1 = IMUL(W6, x3 + x2);
+        x2 = x1 - IMUL(W2 + W6, x2);
+        x3 = x1 + IMUL(W2 - W6, x3);
         x1 = x4 + x6;
         x4 -= x6;
         x6 = x5 + x7;
@@ -518,37 +526,37 @@ static void idct_block(const int16_t *coef, const uint16_t *q,
         x8 -= x3;
         x3 = x0 + x2;
         x0 -= x2;
-        x2 = (R2 * (x4 + x5) + 128) >> 8;
-        x4 = (R2 * (x4 - x5) + 128) >> 8;
-        inter[y8 + 0] = (x7 + x1) >> 8;
-        inter[y8 + 1] = (x3 + x2) >> 8;
-        inter[y8 + 2] = (x0 + x4) >> 8;
-        inter[y8 + 3] = (x8 + x6) >> 8;
-        inter[y8 + 4] = (x8 - x6) >> 8;
-        inter[y8 + 5] = (x0 - x4) >> 8;
-        inter[y8 + 6] = (x3 - x2) >> 8;
-        inter[y8 + 7] = (x7 - x1) >> 8;
+        x2 = asr32(IMUL(R2, x4 + x5) + 128u, 8);
+        x4 = asr32(IMUL(R2, x4 - x5) + 128u, 8);
+        inter[y8 + 0] = asr32(x7 + x1, 8);
+        inter[y8 + 1] = asr32(x3 + x2, 8);
+        inter[y8 + 2] = asr32(x0 + x4, 8);
+        inter[y8 + 3] = asr32(x8 + x6, 8);
+        inter[y8 + 4] = asr32(x8 - x6, 8);
+        inter[y8 + 5] = asr32(x0 - x4, 8);
+        inter[y8 + 6] = asr32(x3 - x2, 8);
+        inter[y8 + 7] = asr32(x7 - x1, 8);
     }
     for (int x = 0; x < 8; ++x) {
-        int32_t y0 = (inter[x] << 8) + 8192;
-        int32_t y1 = inter[32 + x] << 8;
-        int32_t y2 = inter[48 + x];
-        int32_t y3 = inter[16 + x];
-        int32_t y4 = inter[8 + x];
-        int32_t y5 = inter[56 + x];
-        int32_t y6 = inter[40 + x];
-        int32_t y7 = inter[24 + x];
-        int32_t y8 = W7 * (y4 + y5) + 4;
-        y4 = (y8 + (W1 - W7) * y4) >> 3;
-        y5 = (y8 - (W1 + W7) * y5) >> 3;
-        y8 = W3 * (y6 + y7) + 4;
-        y6 = (y8 - (W3 - W5) * y6) >> 3;
-        y7 = (y8 - (W3 + W5) * y7) >> 3;
+        uint32_t y0 = (inter[x] << 8) + 8192u;
+        uint32_t y1 = inter[32 + x] << 8;
+        uint32_t y2 = inter[48 + x];
+        uint32_t y3 = inter[16 + x];
+        uint32_t y4 = inter[8 + x];
+        uint32_t y5 = inter[56 + x];
+        uint32_t y6 = inter[40 + x];
+        uint32_t y7 = inter[24 + x];
+        uint32_t y8 = IMUL(W7, y4 + y5) + 4u;
+        y4 = asr32(y8 + IMUL(W1 - W7, y4), 3);
+        y5 = asr32(y8 - IMUL(W1 + W7, y5), 3);
+        y8 = IMUL(W3, y6 + y7) + 4u;
+        y6 = asr32(y8 - IMUL(W3 - W5, y6), 3);
+        y7 = asr32(y8 - IMUL(W3 + W5, y7), 3);
         y8 = y0 + y1;
         y0 -= y1;
-        y1 = W6 * (y3 + y2) + 4;
-        y2 = (y1 - (W2 + W6) * y2) >> 3;
-        y3 = (y1 + (W2 - W6) * y3) >> 3;
+        y1 = IMUL(W6, y3 + y2) + 4u;
+        y2 = asr32(y1 - IMUL(W2 + W6, y2), 3);
+        y3 = asr32(y1 + IMUL(W2 - W6, y3), 3);
         y1 = y4 + y6;
         y4 -= y6;
         y6 = y5 + y7;
@@ -557,16 +565,16 @@ static void idct_block(const int16_t *coef, const uint16_t *q,
         y8 -= y3;
         y3 = y0 + y2;
         y0 -= y2;
-        y2 = (R2 * (y4 + y5) + 128) >> 8;
-        y4 = (R2 * (y4 - y5) + 128) >> 8;
-        out[x] = (int16_t)((y7 + y1) >> 11);
-        out[8 + x] = (int16_t)((y3 + y2) >> 11);
-        out[16 + x] = (int16_t)((y0 + y4) >> 11);
-        out[24 + x] = (int16_t)((y8 + y6) >> 11);
-        out[32 + x] = (int16_t)((y8 - y6) >> 11);
-        out[40 + x] = (int16_t)((y0 - y4) >> 11);
-        out[48 + x] = (int16_t)((y3 - y2) >> 11);
-        out[56 + x] = (int16_t)((y7 - y1) >> 11);
+        y2 = asr32(IMUL(R2, y4 + y5) + 128u, 8);
+        y4 = asr32(IMUL(R2, y4 - y5) + 128u, 8);
+        out[x] = (int16_t)asr32(y7 + y1, 11);
+        out[8 + x] = (int16_t)asr32(y3 + y2, 11);
+        out[16 + x] = (int16_t)asr32(y0 + y4, 11);
+        out[24 + x] = (int16_t)asr32(y8 + y6, 11);
+        out[32 + x] = (int16_t)asr32(y8 - y6, 11);
+        out[40 + x] = (int16_t)asr32(y0 - y4, 11);
+        out[48 + x] = (int16_t)asr32(y3 - y2, 11);
+        out[56 + x] = (int16_t)asr32(y7 - y1, 11);
     }
 }
 
@@ -632,23 +640,23 @@ static void compute_aavrg_block(uint16_t out[64], const int16_t *left,
 static void compute_lak_h(int32_t lak_h[8], const int16_t *here,
                           const int16_t *above, const ColorTables *ct) {
     if (above) {
-        int32_t pred[8];
+        uint32_t pred[8];
         for (int c = 0; c < 8; ++c)
-            pred[c] = above[c] * ct->icos_xT[c];
+            pred[c] = IMUL(above[c], ct->icos_xT[c]);
         for (int i = 1; i < 8; ++i) {
             const int32_t *ic = ct->icos_xT + i * 8;
             const int16_t *hr = here + i * 8;
             const int16_t *ar = above + i * 8;
             if (i & 1)
                 for (int c = 0; c < 8; ++c)
-                    pred[c] -= ic[c] * (hr[c] + ar[c]);
+                    pred[c] -= IMUL(ic[c], hr[c] + ar[c]);
             else
                 for (int c = 0; c < 8; ++c)
-                    pred[c] -= ic[c] * (hr[c] - ar[c]);
+                    pred[c] -= IMUL(ic[c], hr[c] - ar[c]);
         }
         lak_h[0] = 0;
         for (int c = 1; c < 8; ++c)
-            lak_h[c] = fastdiv_i32(pred[c], ct->lak_div_magic[c]);
+            lak_h[c] = fastdiv_i32((int32_t)pred[c], ct->lak_div_magic[c]);
     } else {
         memset(lak_h, 0, 8 * sizeof(int32_t));
     }
@@ -661,13 +669,13 @@ static void compute_lak_v(int32_t lak_v[8], const int16_t *here,
             const int32_t *ic = ct->icos_y + r * 8;
             const int16_t *hr = here + r * 8;
             const int16_t *lr = left + r * 8;
-            int32_t pred = lr[0] * ic[0];
+            uint32_t pred = IMUL(lr[0], ic[0]);
             for (int i = 1; i < 8; ++i) {
-                int32_t s = (i & 1) ? (int32_t)(hr[i] + lr[i])
-                                    : (int32_t)(hr[i] - lr[i]);
-                pred -= ic[i] * s;
+                int32_t sv = (i & 1) ? (int32_t)(hr[i] + lr[i])
+                                     : (int32_t)(hr[i] - lr[i]);
+                pred -= IMUL(ic[i], sv);
             }
-            lak_v[r] = fastdiv_i32(pred, ct->lak_div_magic[r * 8]);
+            lak_v[r] = fastdiv_i32((int32_t)pred, ct->lak_div_magic[r * 8]);
         }
         lak_v[0] = 0;
     } else {
@@ -1503,7 +1511,11 @@ EXPORT StreamDecoder *lepton_stream_decoder_create(
                                                 sizeof(Summary)) : NULL;
     }
     sd->arena = (uint8_t *)malloc((size_t)ARENA_SIZE * 3);
-    if (!sd->arena) { free(sd); return NULL; }
+    if (!sd->arena) {
+        for (int i = 0; i < 4; ++i) free(sd->st.rings[i]);
+        free(sd);
+        return NULL;
+    }
     memcpy(sd->arena, identity_arena_template, ARENA_SIZE * 3);
     sd->st.arena = sd->arena;
     vpxr_init(&sd->r, data, (size_t)len);
