@@ -137,7 +137,9 @@ class NativeImage:
             self.max_heights, self.ncomp, self.mcuv, self.color_ptrs,
             arena.ctypes.data_as(ctypes.c_void_p),
             min_y, max_y, int(is_last),
-            out.ctypes.data_as(ctypes.c_void_p), cap)
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap))
+        if n == -3:
+            raise ValueError("coefficient out of range")
         if n < 0:
             raise RuntimeError(f"native ans encode failed: {n}")
         return out[:n].tobytes()
@@ -152,7 +154,7 @@ class NativeImage:
             self.max_heights, self.ncomp, self.mcuv, self.color_ptrs,
             arena.ctypes.data_as(ctypes.c_void_p),
             min_y, max_y, int(is_last),
-            buf.ctypes.data_as(ctypes.c_void_p), len(data))
+            buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(data)))
         if err:
             raise RuntimeError("native ans decode: stream inconsistent")
 
@@ -169,7 +171,9 @@ class NativeImage:
             self.max_heights, self.ncomp, self.mcuv, self.color_ptrs,
             arena.ctypes.data_as(ctypes.c_void_p),
             min_y, max_y, int(is_last),
-            out.ctypes.data_as(ctypes.c_void_p), cap)
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap))
+        if n == -3:
+            raise ValueError("coefficient out of range")
         if n < 0:
             raise RuntimeError(f"native encode failed: {n}")
         return out[:n].tobytes()
@@ -187,7 +191,7 @@ class NativeImage:
             self.max_heights, self.ncomp, self.mcuv, self.color_ptrs,
             arena.ctypes.data_as(ctypes.c_void_p),
             min_y, max_y, int(is_last),
-            buf.ctypes.data_as(ctypes.c_void_p), len(data))
+            buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(data)))
         if err:
             raise RuntimeError("native decode: stream inconsistent")
 
@@ -281,7 +285,7 @@ def native_decode_baseline_scan(info, huffdata: bytes, bitpos: int,
     max_dpos = np.zeros(4, dtype=np.int32)
     hbuf = np.frombuffer(huffdata, dtype=np.uint8)
     status = lib.lepton_decode_baseline_scan(
-        hbuf.ctypes.data_as(ctypes.c_void_p), len(huffdata),
+        hbuf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(huffdata)),
         ctypes.byref(bitpos_c), ctypes.byref(sc), tables, plane_ptrs,
         hpos.ctypes.data_as(ctypes.c_void_p),
         fpos.ctypes.data_as(ctypes.c_void_p), len(offsets),
@@ -381,7 +385,7 @@ def native_decode_progressive_scan(info, huffdata: bytes, bitpos: int,
     md = np.asarray(max_dpos, dtype=np.int32)
     hbuf = np.frombuffer(huffdata, dtype=np.uint8)
     status = lib.lepton_decode_progressive_scan(
-        hbuf.ctypes.data_as(ctypes.c_void_p), len(huffdata),
+        hbuf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(huffdata)),
         ctypes.byref(bitpos_c), ctypes.byref(sc), ctypes.byref(prg), tables,
         plane_ptrs,
         hpos.ctypes.data_as(ctypes.c_void_p),
@@ -449,7 +453,8 @@ class StreamDecoder:
             img.max_heights, img.ncomp, img.mcuv, img.color_ptrs,
             masks.ctypes.data_as(ctypes.c_void_p),
             min_y, max_y, int(is_last),
-            self._data.ctypes.data_as(ctypes.c_void_p), len(data))
+            self._data.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(data)))
         if not self._handle:
             raise MemoryError("stream decoder alloc failed")
 

@@ -808,7 +808,7 @@ typedef struct {
 
 static void encode_edge(Coder *c, const CompCtx *cc, const int16_t *here,
                         const int16_t *neighbor,
-                        int nz7x7, int est_eob, int horizontal) {
+                        int nz7x7, int est_eob, int horizontal, int *err) {
     int ci = cc->ci;
     int num_nonzeros_edge = 0;
     int delta, zig15, nz_base;
@@ -848,6 +848,7 @@ static void encode_edge(Coder *c, const CompCtx *cc, const int16_t *here,
             coder_put(c, cur_bit, exp_slice + i);
             if (!cur_bit) break;
         }
+        if (length > MAX_EXPONENT) { *err = 2; return; }
         if (coef) {
             int mt = cc->ct->min_noise_threshold[coord];
             int ctx1 = best_prior == 0 ? 0 : (best_prior > 0 ? 1 : 2);
@@ -955,7 +956,7 @@ static void decode_edge(Coder *c, const CompCtx *cc, int16_t *here,
 static void encode_block(Coder *c, const CompCtx *cc, const int16_t *here,
                          const int16_t *left, const int16_t *above,
                          const int16_t *aboveleft, const Summary *left_s,
-                         const Summary *above_s, Summary *cur_s) {
+                         const Summary *above_s, Summary *cur_s, int *err) {
     int ci = cc->ci;
     int nz7x7 = 0;
     for (int r = 1; r < 8; ++r)
@@ -994,6 +995,7 @@ static void encode_block(Coder *c, const CompCtx *cc, const int16_t *here,
             coder_put(c, cur_bit, exp_slice + i);
             if (!cur_bit) break;
         }
+        if (length > MAX_EXPONENT) { *err = 2; return; }
         if (length) {
             coder_put(c, coef >= 0, OFF_SIGN + ci * S_SG_CI);
             --nz_left;
@@ -1009,8 +1011,10 @@ static void encode_block(Coder *c, const CompCtx *cc, const int16_t *here,
         }
     }
 
-    encode_edge(c, cc, here, above, nz7x7, eob_x, 1);
-    encode_edge(c, cc, here, left, nz7x7, eob_y, 0);
+    encode_edge(c, cc, here, above, nz7x7, eob_x, 1, err);
+    if (*err) return;
+    encode_edge(c, cc, here, left, nz7x7, eob_y, 0, err);
+    if (*err) return;
 
     int uncertainty, uncertainty2;
     int16_t pixels[64];
@@ -1030,6 +1034,7 @@ static void encode_block(Coder *c, const CompCtx *cc, const int16_t *here,
         coder_put(c, cur_bit, exp_slice + i);
         if (!cur_bit) break;
     }
+    if (length > MAX_EXPONENT) { *err = 2; return; }
     if (length) {
         int sctx = uncertainty2 >= 0 ? (uncertainty2 == 0 ? 3 : 2) : 1;
         coder_put(c, coef >= 0, OFF_SIGN + ci * S_SG_CI + sctx);
@@ -1218,10 +1223,11 @@ static void process_row(const Image *im, SegState *st, Coder *c, int comp,
             (above_row && x > 0) ? above_row + (size_t)(x - 1) * 64 : NULL;
         const Summary *left_s = x > 0 ? cur + (x - 1) : NULL;
         const Summary *above_s = top ? NULL : abv + x;
-        if (encode)
+        if (encode) {
             encode_block(c, &cc, row + (size_t)x * 64, left, above, aboveleft,
-                         left_s, above_s, cur + x);
-        else {
+                         left_s, above_s, cur + x, err);
+            if (*err) return;
+        } else {
             decode_block(c, &cc, row + (size_t)x * 64, left, above, aboveleft,
                          left_s, above_s, cur + x, err);
             if (*err) return;
@@ -1281,7 +1287,7 @@ EXPORT int64_t lepton_encode_segment(
     vpxw_put(&w, 0, 128); /* marker bit */
     Coder c = { arena, &w, NULL, NULL, NULL, 0, 0 };
     int err = run_segment(&im, &c, min_y, max_y, is_last, 1);
-    if (err) return -1;
+    if (err) return err == 2 ? -3 : -1;  /* -3: COEFFICIENT_OUT_OF_RANGE */
     size_t n = vpxw_finish(&w);
     if (w.overflow) return -2;
     return (int64_t)n;
@@ -1432,7 +1438,7 @@ EXPORT int64_t lepton_encode_segment_ans(
     c.arena = arena;
     c.ans = 1;
     int err = run_segment(&im, &c, min_y, max_y, is_last, 1);
-    int64_t r = -1;
+    int64_t r = err == 2 ? -3 : -1;
     if (!err)
         r = ans_finish(&c, out, out_cap);
     free(c.ans_probs);
