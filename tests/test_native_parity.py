@@ -93,3 +93,30 @@ def test_python_full_pipeline_roundtrip(decoded):
                                parsed.rst_err, garbage, len(data),
                                use_native=False)
     assert out == data
+
+
+def test_coefficient_out_of_range_guard(ref_images):
+    """Coefficients whose exponent exceeds MAX_EXPONENT must abort the
+    encode (encoder.cc:124-126 COEFFICIENT_OUT_OF_RANGE), not emit an
+    undecodable stream."""
+    import numpy as np
+    import os
+    import pytest
+    from lepton_tpu.api import _native_image, _truncation_geometry
+    from lepton_tpu.jpeg.decoder import decode_scans
+    from lepton_tpu.jpeg.imageinfo import image_info_from_header
+    from lepton_tpu.jpeg.parser import parse_jpeg
+    from lepton_tpu.util.exitcodes import ExitCode, classify
+    data = open(os.path.join(ref_images, "nofsync.jpg"), "rb").read()
+    parsed = parse_jpeg(data)
+    info = image_info_from_header(parsed.hdrdata)
+    dec = decode_scans(parsed, info)
+    dec.planes[0][3, 4, 10] = 3000   # bit_length 12 > MAX_EXPONENT
+    mh, cs = _truncation_geometry(info, dec)
+    img = _native_image(info, dec.planes, mh, cs)
+    bcv = info.cmpnfo[0].bcv
+    with pytest.raises(ValueError) as ei:
+        img.encode_segment(0, bcv, True)
+    assert classify(ei.value) == ExitCode.COEFFICIENT_OUT_OF_RANGE
+    with pytest.raises(ValueError):
+        img.encode_segment_ans(0, bcv, True)
