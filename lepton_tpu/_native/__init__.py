@@ -15,7 +15,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "leptonc.c")
-_SO = os.path.join(_HERE, "libleptonc.so")
+# LEPTONC_SO overrides the library (e.g. a sanitizer build for test runs)
+_SO = os.environ.get("LEPTONC_SO", os.path.join(_HERE, "libleptonc.so"))
 
 _lib = None
 _lock = threading.Lock()
@@ -47,8 +48,9 @@ def get_lib():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or \
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if "LEPTONC_SO" not in os.environ and (
+                not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             try:
                 _build()
             except Exception as e:  # pragma: no cover
