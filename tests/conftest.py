@@ -30,8 +30,28 @@ def ref_images():
     return REFERENCE_IMAGES
 
 
+def _try_build_reference() -> bool:
+    """Build the reference oracle on a fresh machine so the interop gates
+    run instead of silently skipping."""
+    import shutil
+    import subprocess
+    if not (os.path.isdir(REFERENCE_DIR) and shutil.which("cmake")
+            and shutil.which("ninja")):
+        return False
+    try:
+        os.makedirs("/tmp/refbuild", exist_ok=True)
+        subprocess.run(["cmake", REFERENCE_DIR, "-DCMAKE_BUILD_TYPE=Release",
+                        "-G", "Ninja"], cwd="/tmp/refbuild",
+                       capture_output=True, timeout=600, check=True)
+        subprocess.run(["ninja", "lepton"], cwd="/tmp/refbuild",
+                       capture_output=True, timeout=1200, check=True)
+        return os.path.exists(REFERENCE_BINARY)
+    except Exception:
+        return False
+
+
 @pytest.fixture(scope="session")
 def ref_binary():
-    if not os.path.exists(REFERENCE_BINARY):
+    if not os.path.exists(REFERENCE_BINARY) and not _try_build_reference():
         pytest.skip("reference lepton binary not built")
     return REFERENCE_BINARY
