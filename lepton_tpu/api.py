@@ -158,14 +158,16 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
              min_threads: int = 1, even_split: bool = False,
              allow_progressive: bool = False, version: int = 1,
              start_byte: int = 0, embedding: int = 0,
-             allow_four_colors: bool = False) -> bytes:
+             allow_four_colors: bool = False,
+             allow_34_sampling: bool = False) -> bytes:
     ans = version == 3
     if start_byte:
         # a mid-file slice is always re-emitted sequentially (jpgcoder.cc:1205)
         allow_progressive = False
     timing.mark("TS_READ_FINISHED")
     parsed = parse_jpeg(jpeg_data, embedding=embedding)
-    info = image_info_from_header(parsed.hdrdata)
+    info = image_info_from_header(parsed.hdrdata,
+                                  allow_34=allow_34_sampling)
     if info.cmpc > 3 and not allow_four_colors:
         # default parity with the reference's 3-slot build, which exits
         # UNSUPPORTED_4_COLORS=4; allow_four_colors engages the CMYK path
@@ -275,7 +277,7 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
         lep_data, pending_header=(_state or {}).get("pending_header"))
     if _state is not None:
         _state["pending_header"] = hdr.pending_header
-    info = image_info_from_header(hdr.hdrdata)
+    info = image_info_from_header(hdr.hdrdata, allow_34=True)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
     ans = hdr.version == 3
     # np.zeros is lazy (mmap zero pages), so full-size planes cost only
@@ -327,7 +329,7 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
     timing.mark("TS_ARITH_FINISHED")
     timing.mark("TS_JPEG_RECODE_STARTED")
 
-    info2 = image_info_from_header(hdr.hdrdata)
+    info2 = image_info_from_header(hdr.hdrdata, allow_34=True)
     if hdr.mode == ord("X"):
         from .jpeg.recode_progressive import recode_progressive_jpeg
         return recode_progressive_jpeg(
@@ -432,7 +434,7 @@ def decompress_streaming(lep_data: bytes) -> bytes:
     block_based_image.hh:52-121).  Byte-identical to decompress(); falls
     back to it for progressive / ANS / truncated containers."""
     hdr, mux_region = read_container(lep_data)
-    info = image_info_from_header(hdr.hdrdata)
+    info = image_info_from_header(hdr.hdrdata, allow_34=True)
     if hdr.version == 3 or hdr.mode != ord("Z") or hdr.early_eof:
         return decompress(lep_data)
     try:
@@ -515,7 +517,7 @@ def decompress_streaming(lep_data: bytes) -> bytes:
             return
 
     from .jpeg.recoder import recode_baseline_jpeg_streaming
-    info2 = image_info_from_header(hdr.hdrdata)
+    info2 = image_info_from_header(hdr.hdrdata, allow_34=True)
     try:
         return recode_baseline_jpeg_streaming(
             hdr.hdrdata, planes, masks, ensure_decoded, handoffs, info2,
@@ -575,7 +577,7 @@ def ujg_decompress(ujg_data: bytes) -> bytes:
     shapes = [(info.cmpnfo[c].bcv, info.cmpnfo[c].bch)
               for c in range(info.cmpc)]
     planes = decode_raw(payload, shapes)
-    info2 = image_info_from_header(hdr.hdrdata)
+    info2 = image_info_from_header(hdr.hdrdata, allow_34=True)
     if hdr.mode == ord("X"):
         from .jpeg.recode_progressive import recode_progressive_jpeg
         return recode_progressive_jpeg(

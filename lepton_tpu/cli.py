@@ -96,6 +96,8 @@ def main(argv=None) -> int:
             opts["allow_progressive"] = True
         elif arg == "-allowfourcolors":
             opts["allow_four_colors"] = True
+        elif arg == "-allow34sampling":
+            opts["allow_34_sampling"] = True
         elif arg == "-rejectprogressive":
             opts["allow_progressive"] = False
         elif arg in ("-skipverify", "-skiproundtrip", "-skipvalidate"):
@@ -440,7 +442,8 @@ def _process(data: bytes, opts) -> tuple:
             version=opts["version"],
             start_byte=opts.get("start_byte", 0),
             embedding=opts.get("embedding", 0),
-            allow_four_colors=opts.get("allow_four_colors", False))
+            allow_four_colors=opts.get("allow_four_colors", False),
+            allow_34_sampling=opts.get("allow_34_sampling", False))
         return out, "jpeg"
     if kind == "ujg":
         from .api import ujg_decompress

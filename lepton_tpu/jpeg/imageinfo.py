@@ -14,6 +14,12 @@ import numpy as np
 from .huffman import HuffCodes
 
 
+# runtime equivalent of the reference's ALLOW_3_OR_4_SCALING_FACTOR build
+# flag: encode-side opt-in via CLI -allow34sampling; decode of .lep headers
+# always passes allow_34 (the container implies a consenting encoder)
+ALLOW_3_OR_4_SCALING_FACTOR = False
+
+
 class UnsupportedJpeg(Exception):
     pass
 
@@ -65,6 +71,8 @@ class ImageInfo:
         self.sfvm = 0
 
     # -- segment parsers -------------------------------------------------
+    _allow_34 = False
+
     def parse_segment(self, seg: bytes) -> None:
         stype = seg[1]
         if stype == 0xC4:
@@ -136,7 +144,10 @@ class ImageInfo:
             ci.jid = seg[hpos]
             ci.sfv = seg[hpos + 1] >> 4
             ci.sfh = seg[hpos + 1] & 15
-            if ci.sfv > 2 or ci.sfh > 2:
+            if ci.sfv > 4 or ci.sfh > 4:
+                raise UnsupportedJpeg("sampling factor beyond 4 unsupported")
+            if not (ALLOW_3_OR_4_SCALING_FACTOR or self._allow_34) and \
+                    (ci.sfv > 2 or ci.sfh > 2):
                 raise UnsupportedJpeg("sampling factor beyond 2 unsupported")
             ci.qtable_index = seg[hpos + 2]
             hpos += 3
@@ -202,9 +213,11 @@ def scan_header_segments(hdrdata: bytes):
         hpos += length
 
 
-def image_info_from_header(hdrdata: bytes) -> ImageInfo:
+def image_info_from_header(hdrdata: bytes,
+                           allow_34: bool = False) -> ImageInfo:
     """setup_imginfo_jpg: parse everything except DHT/DRI (jpgcoder.cc:4459)."""
     info = ImageInfo()
+    info._allow_34 = allow_34
     for stype, seg in scan_header_segments(hdrdata):
         if stype not in (0xDA, 0xC4, 0xDD):
             info.parse_segment(seg)

@@ -218,3 +218,84 @@ def test_cmyk_cli(tmp_path):
     assert r.returncode == 0
     assert open(str(tmp_path / "c_out.jpg"), "rb").read() == \
         open(src, "rb").read()
+
+
+def _sampled_jpeg(sf_byte: int, seed=0):
+    """Synthesize a JPEG whose luma uses the given SOF sampling byte by
+    re-emitting random coefficients through our own recoder over a
+    standard-table header (PIL, no optimize)."""
+    from lepton_tpu.jpeg.decoder import ThreadHandoff, decode_scans
+    from lepton_tpu.jpeg.imageinfo import image_info_from_header
+    from lepton_tpu.jpeg.parser import parse_jpeg
+    from lepton_tpu.jpeg.recoder import recode_baseline_jpeg
+    r = np.random.default_rng(seed)
+    arr = r.integers(0, 256, size=(96, 120, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=90, subsampling=2)
+    parsed = parse_jpeg(buf.getvalue())
+    hdr = bytearray(parsed.hdrdata)
+    i = 0
+    while i < len(hdr) - 3:
+        if hdr[i] == 0xFF and hdr[i + 1] in (0xC0, 0xC1):
+            hdr[i + 11] = sf_byte
+            break
+        i += 2 + ((hdr[i + 2] << 8) | hdr[i + 3])
+    hdrdata = bytes(hdr)
+    info = image_info_from_header(hdrdata, allow_34=True)
+    rng = np.random.default_rng(seed)
+    planes = []
+    for c in range(info.cmpc):
+        ci = info.cmpnfo[c]
+        p = rng.integers(-20, 21, size=(ci.bcv, ci.bch, 64)).astype(np.int16)
+        p[rng.random(size=p.shape) < 0.85] = 0
+        planes.append(p)
+    th = ThreadHandoff(luma_y_start=0, luma_y_end=info.cmpnfo[0].bcv,
+                       overhang_byte=0, num_overhang_bits=0,
+                       last_dc=[0, 0, 0, 0])
+    jpg = recode_baseline_jpeg(hdrdata, planes, [th], info, 0, None, False,
+                               [], b"\xff\xd9", 10_000_000)
+    # self-consistency of the synthesizer
+    p2 = parse_jpeg(jpg)
+    i2 = image_info_from_header(p2.hdrdata, allow_34=True)
+    dec = decode_scans(p2, i2)
+    assert all(np.array_equal(dec.planes[c], planes[c])
+               for c in range(info.cmpc))
+    return jpg
+
+
+@pytest.mark.parametrize("sf_byte", [0x31, 0x13, 0x41, 0x33])
+def test_34_sampling_roundtrip(sf_byte):
+    """Sampling factors 3-4 (the reference's ALLOW_3_OR_4_SCALING_FACTOR
+    build): accepted behind allow_34_sampling, rejected with exit 10 by
+    default."""
+    from lepton_tpu.util.exitcodes import ExitCode, classify
+    jpg = _sampled_jpeg(sf_byte)
+    with pytest.raises(Exception) as ei:
+        compress(jpg)
+    assert classify(ei.value) == ExitCode.SAMPLING_BEYOND_TWO_UNSUPPORTED
+    lep = compress(jpg, allow_34_sampling=True)
+    assert decompress(lep) == jpg
+
+
+REF34 = "/tmp/refbuild-34/lepton"
+
+
+@pytest.mark.skipif(not os.path.exists(REF34),
+                    reason="no ALLOW_3_OR_4 reference build")
+def test_34_sampling_reference_interop(tmp_path):
+    jpg = _sampled_jpeg(0x31, seed=5)
+    src = tmp_path / "s34.jpg"
+    src.write_bytes(jpg)
+    ref_lep = tmp_path / "s34.lep"
+    r = subprocess.run([REF34, "-unjailed", "-skipverify", str(src),
+                        str(ref_lep)], capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    ours = compress(jpg, allow_34_sampling=True)
+    assert ours == ref_lep.read_bytes()
+    out = tmp_path / "s34out.jpg"
+    mine = tmp_path / "mine.lep"
+    mine.write_bytes(ours)
+    r = subprocess.run([REF34, "-unjailed", str(mine), str(out)],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0 and out.read_bytes() == jpg
+    assert decompress(ref_lep.read_bytes()) == jpg
