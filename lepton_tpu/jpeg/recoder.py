@@ -296,14 +296,14 @@ def _recode_native(out: BoundedWriter, byte_position: int, hdrdata: bytes,
         from ..api import _parallel_map
 
         def run_seg(th):
+            # tables/sc are read-only in the C recode: share one copy
             seg_buf = np.zeros(bound + 65536, dtype=np.uint8)
             p2, ob, nb, dc = _native.native_recode_rows(
                 info, planes_c, th.luma_y_start // luma_mul,
                 th.luma_y_end // luma_mul, th.overhang_byte,
                 th.num_overhang_bits, list(th.last_dc), padbit,
                 rst_cnt, rst_cnt_set, seg_buf, bound, 0,
-                tables=_native.build_huff_tables(info),
-                sc=_native.build_hscan(info))
+                tables=tables, sc=_native.build_hscan(info))
             return seg_buf[:p2], (ob, nb, dc)
 
         outs = _parallel_map(run_seg, handoffs)
