@@ -1,10 +1,16 @@
 """Pallas TPU kernel: per-segment adaptive VPX encoder, model in VMEM.
 
-The design the survey prescribes (SURVEY.md section 7): each grid program
-owns one thread-segment; its ~720k-branch adaptive model lives packed as
-(fc | tc<<8 | prob<<16) int32 tiles in VMEM, the symbol stream arrives in
-VMEM blocks via the grid's chunk dimension, and output bytes land in a
-VMEM-resident per-segment buffer.
+Each grid program owns one thread-segment; its ~720k-branch adaptive model
+lives packed as (fc | tc<<8 | prob<<16) int32 tiles in VMEM, the symbol
+stream arrives in VMEM blocks via the grid's chunk dimension, and output
+bytes land in a VMEM-resident per-segment buffer.
+
+MEASURED LIMITATION: TPU grid steps execute sequentially on the
+TensorCore, so segments in the grid dimension do NOT run concurrently --
+this kernel is bit-exact but serial (~1 Msym/s on a v5e).  The
+lane-parallel windowed scan (vpx_scan.encode_streams_windowed, one segment
+per vector lane) is the production accelerator design; this kernel remains
+as the VMEM-residency study and a second bit-exactness oracle.
 
 Mosaic constraints shape the data movement: VMEM traffic must be
 tile-aligned vector ops, so every dynamic access works on an (8, 128) int32
