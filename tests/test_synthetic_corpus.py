@@ -299,3 +299,32 @@ def test_34_sampling_reference_interop(tmp_path):
                        capture_output=True, timeout=300)
     assert r.returncode == 0 and out.read_bytes() == jpg
     assert decompress(ref_lep.read_bytes()) == jpg
+
+
+def test_progressive_q100_quirk_parity():
+    """Certain q=100 grayscale progressive files hit a reference encoder
+    bug (its verify gate exits 41).  We reproduce the reference
+    byte-for-byte -- same .lep, same (wrong) reconstruction -- and our
+    verify gate catches it the same way."""
+    from lepton_tpu.api import compress_any
+    r = np.random.default_rng(331)
+    arr = r.integers(0, 256, size=(467, 694)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, "JPEG", quality=100, subsampling=2,
+                                   progressive=True)
+    data = buf.getvalue()
+    lep = compress(data, allow_progressive=True)
+    if decompress(lep) == data:
+        pytest.skip("this PIL build did not trigger the quirk")
+    with pytest.raises(Exception):
+        compress_any(data, verify=True, permissive=False,
+                     allow_progressive=True)
+    if os.path.exists(REF):
+        src = "/tmp/_prog_quirk.jpg"
+        open(src, "wb").write(data)
+        r1 = subprocess.run([REF, "-unjailed", "-skipverify",
+                             "-allowprogressive", src,
+                             "/tmp/_prog_quirk.lep"], capture_output=True,
+                            timeout=300)
+        assert r1.returncode == 0
+        assert lep == open("/tmp/_prog_quirk.lep", "rb").read()
