@@ -1638,6 +1638,21 @@ static inline uint32_t hbr_extract(const HBitReader *r, int64_t pos, int n) {
 
 static uint32_t hbr_read(HBitReader *r, int n) {
     if (r->eof || n == 0) return 0;
+    if (n > 25) {
+        /* only reachable via corrupt/malicious DHT symbols (category up
+         * to 255); consume MSB-first in extract-safe chunks, keeping the
+         * low 32 bits.  The reference's abitreader::read() hits shift-
+         * count UB here, so there is no defined behavior to match --
+         * deterministic + memory-safe, and the roundtrip verify gate
+         * catches any semantic divergence. */
+        uint32_t v = 0;
+        while (n > 0 && !r->eof) {
+            int take = n > 25 ? 25 : n;
+            v = (v << take) | hbr_read(r, take);
+            n -= take;
+        }
+        return n > 0 ? (v << (n > 31 ? 31 : n)) : v;
+    }
     int64_t end = r->pos + n;
     if (end >= r->nbits) {
         int avail = (int)(r->nbits - r->pos);
@@ -1771,11 +1786,18 @@ static inline int huff_decode_fused(HBitReader *r, const HuffTable *ht,
         uint32_t entry = ht->lut9[peek >> 7];
         if (!entry) entry = ht->lut[peek];
         int ln = (int)(entry & 31);
-        if (ln) {
-            int sym = (int)(entry >> 5);
-            int sbits = ac ? (sym & 15) : sym;
+        int sym = (int)(entry >> 5);
+        int sbits = ac ? (sym & 15) : sym;
+        /* DC symbols come straight from attacker-controlled DHT bytes and
+         * can be up to 255; the fused single-window extract is only valid
+         * for sbits <= 25 (ln <= 16, so ln + sbits < 48 bits consumed from
+         * the 64-bit window, and the shift count 64 - sbits stays in
+         * range).  Oversized categories fall through to the slow path,
+         * which clamps to nbits and sets eof. */
+        if (ln && sbits <= 25) {
             *extra = sbits ? (uint32_t)((win << ln) >> (64 - sbits)) : 0;
             r->pos += ln + sbits;
+            if (r->pos > r->nbits) { r->pos = r->nbits; r->eof = 1; }
             return sym;
         }
     }
@@ -2743,9 +2765,22 @@ static const int jail_allowed[] = {
     __NR_gettimeofday,
     __NR_getrandom,
     /* serving: poll/accept loop stays outside the jail; children only
-       pump already-open fds */
-    __NR_poll, __NR_ppoll, __NR_epoll_wait, __NR_epoll_pwait,
-    __NR_dup, __NR_dup2, __NR_shutdown,
+       pump already-open fds.  Legacy syscalls (poll, epoll_wait, dup2)
+       do not exist on aarch64 -- guard each so the AUDIT_ARCH_AARCH64
+       branch still compiles. */
+#ifdef __NR_poll
+    __NR_poll,
+#endif
+    __NR_ppoll,
+#ifdef __NR_epoll_wait
+    __NR_epoll_wait,
+#endif
+    __NR_epoll_pwait,
+    __NR_dup,
+#ifdef __NR_dup2
+    __NR_dup2,
+#endif
+    __NR_shutdown,
     __NR_membarrier, __NR_sched_getaffinity,
     /* socket data pumping on already-open fds (serve children) */
     __NR_recvfrom, __NR_sendto, __NR_recvmsg, __NR_sendmsg,

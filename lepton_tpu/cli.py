@@ -208,9 +208,12 @@ def main(argv=None) -> int:
 
     from .util.exitcodes import ExitCode, classify
 
-    # stdin/stdout when no files given
+    # stdin/stdout when no files given -- jailed like the file path (the
+    # reference jails stdin mode too: fds are already open, so only the
+    # pre-imports are needed before installing seccomp)
     if not files:
         data = sys.stdin.buffer.read()
+        _install_jail_and_inject(opts, sniff(data) == "jpeg")
         try:
             out, _ = _process(data, opts)
         except (SystemExit, KeyboardInterrupt):
@@ -246,21 +249,7 @@ def main(argv=None) -> int:
         outfile = _swap_ext(infile, ".lep" if encode_side else ".jpg")
     out_f = sys.stdout.buffer if outfile == "-" else open(outfile, "wb")
 
-    if not opts.get("unjailed"):
-        _prepare_for_jail(opts)
-        from .util.sandbox import install_jail
-        install_jail()
-    if opts.get("injectsyscall") in (1, 3):
-        # banned syscall from the main thread before the transcode;
-        # under the jail the process dies with SIGSYS
-        from .util.sandbox import inject_syscall
-        inject_syscall()
-    elif opts.get("injectsyscall") in (2, 4):
-        from . import _native
-        if encode_side:
-            _native.inject_on_encode = True
-        else:
-            _native.inject_on_decode = True
+    _install_jail_and_inject(opts, encode_side)
 
     import time as _time
     _t0 = _time.perf_counter()
@@ -289,15 +278,41 @@ def main(argv=None) -> int:
     if opts["verbosity"] >= 2 and kind == "jpeg":
         _print_bill(data, out)
     if opts.get("timing_log"):
-        # the log fd cannot be opened inside the jail; write via stderr
-        # when jailed, else append to the named file
+        # the log fd is opened pre-jail (_prepare_for_jail): openat under
+        # SECCOMP_RET_KILL_PROCESS raises SIGSYS, not OSError, so an open
+        # here would kill the process instead of falling back
         from .util import timing
-        try:
-            with open(opts["timing_log"], "a") as tf:
-                timing.print_timing(tf)
-        except OSError:
-            timing.print_timing(sys.stderr)
+        tf = opts.get("_timing_log_f")
+        if tf is not None:
+            timing.print_timing(tf)
+            tf.flush()
+        else:
+            try:
+                with open(opts["timing_log"], "a") as tf:
+                    timing.print_timing(tf)
+            except OSError:
+                timing.print_timing(sys.stderr)
     return 0
+
+
+def _install_jail_and_inject(opts, encode_side: bool) -> None:
+    """Install the default-on seccomp jail (after pre-loading everything
+    the transcode needs) and arm any -injectsyscall= fault injection."""
+    if not opts.get("unjailed"):
+        _prepare_for_jail(opts)
+        from .util.sandbox import install_jail
+        install_jail()
+    if opts.get("injectsyscall") in (1, 3):
+        # banned syscall from the main thread before the transcode;
+        # under the jail the process dies with SIGSYS
+        from .util.sandbox import inject_syscall
+        inject_syscall()
+    elif opts.get("injectsyscall") in (2, 4):
+        from . import _native
+        if encode_side:
+            _native.inject_on_encode = True
+        else:
+            _native.inject_on_decode = True
 
 
 def _prepare_for_jail(opts) -> None:
@@ -313,6 +328,13 @@ def _prepare_for_jail(opts) -> None:
     from .jpeg import (bitio, decoder, huffman, imageinfo, parser,  # noqa
                        progressive, recode_progressive, recoder)
     from .util import membound           # noqa: F401
+    if opts.get("timing_log") and "_timing_log_f" not in opts:
+        # the -timing= log fd must exist before the jail: openat under
+        # SECCOMP_RET_KILL_PROCESS dies with SIGSYS, never OSError
+        try:
+            opts["_timing_log_f"] = open(opts["timing_log"], "a")
+        except OSError:
+            opts["_timing_log_f"] = sys.stderr
     try:
         _native.get_lib()                # compile+dlopen before the jail
     except Exception:
@@ -464,12 +486,25 @@ def _process(data: bytes, opts) -> tuple:
         if opts.get("recodememory"):
             from .api import (decompress_streaming, read_container,
                               image_info_from_header)
-            from .util.membound import check_memory_bound
+            from .util.membound import decompression_memory_bound
             hdr, _ = read_container(data)
-            info = image_info_from_header(hdr.hdrdata)
-            if not check_memory_bound(info, hdr.num_threads,
-                                      hdr.original_size,
-                                      opts["recodememory"]):
+            info = image_info_from_header(hdr.hdrdata, allow_34=True)
+            # decompress_streaming silently falls back to the full-
+            # framebuffer decode for v3/progressive/truncated containers
+            # or a missing native lib; the bound must be checked for the
+            # decode that will actually run
+            will_stream = (hdr.version != 3 and hdr.mode == ord("Z")
+                           and not hdr.early_eof)
+            if will_stream:
+                try:
+                    from . import _native
+                    will_stream = _native.available()
+                except Exception:
+                    will_stream = False
+            need = decompression_memory_bound(
+                info, hdr.num_threads, hdr.original_size,
+                streaming=will_stream)
+            if need > opts["recodememory"]:
                 _err("decompression memory bound exceeded")
                 sys.exit(38)  # ExitCode::TOO_MUCH_MEMORY_NEEDED
             # honor the declared bound with the O(width) streaming decode

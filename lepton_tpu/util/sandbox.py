@@ -2,19 +2,22 @@
 
 The reference runs under a strict seccomp jail with a preallocated arena so
 workers can only read/write/exit (Seccomp.cc:67-138, MemMgrAllocator).  A
-Python/JAX runtime cannot survive strict-mode seccomp (the interpreter and
-XLA allocate continuously), so the equivalent operational guarantees here
-are:
+Python runtime cannot survive *strict-mode* seccomp (the interpreter
+allocates continuously), so this build ships a seccomp-BPF filter instead
+-- default-on, installed by the CLI after fds are open and the codec is
+pre-warmed (cli._prepare_for_jail):
 
+  - install_jail() -> lepton_install_jail (leptonc.c): a BPF allowlist of
+    read/write/memory/thread/time syscalls; anything else (openat, exec,
+    connect, ...) kills the process with SIGSYS
+    (SECCOMP_RET_KILL_PROCESS).  Fault injection -injectsyscall=1..4
+    proves the kill (tests/test_sandbox.py).
   - a hard address-space ceiling (the -memory= contract,
     jpgcoder.cc:829-894): the process is killed by the kernel rather than
     exceeding its declared footprint
   - PR_SET_NO_NEW_PRIVS: no privilege escalation past this point
   - the serving layer forks per connection, so a misbehaving request only
     takes down its own worker (socket_serve.cc fork isolation)
-
-A BPF-level syscall filter for the C hot loops is a planned follow-up once
-the native path owns whole-file transcodes end-to-end.
 """
 from __future__ import annotations
 

@@ -81,3 +81,49 @@ def test_four_component_rejected():
     except Exception as e:
         assert classify(e) in (ExitCode.UNSUPPORTED_4_COLORS,
                                ExitCode.UNSUPPORTED_JPEG)
+
+
+def _malicious_dc_category_jpeg() -> bytes:
+    """A syntactically valid JPEG whose DC Huffman table maps a 1-bit code
+    to symbol 0xFF (DC category 255).  Categories above 11 are illegal in
+    baseline JPEG; ADVICE r1 found the fused native decoder shifted by a
+    negative count (UB) and could read past the scan buffer on them."""
+    soi = b"\xff\xd8"
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+    sof = b"\xff\xc0" + (11).to_bytes(2, "big") + \
+        b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + \
+        b"\x01" + b"\x01\x11\x00"
+    # DC table 0: one 1-bit code -> symbol 0xFF
+    dht_dc = b"\xff\xc4" + (19 + 1).to_bytes(2, "big") + b"\x00" + \
+        b"\x01" + b"\x00" * 15 + b"\xff"
+    # AC table 0: one 1-bit code -> symbol 0x00 (EOB)
+    dht_ac = b"\xff\xc4" + (19 + 1).to_bytes(2, "big") + b"\x10" + \
+        b"\x01" + b"\x00" * 15 + b"\x00"
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
+    scan = b"\x55" * 40  # DC code + 255 "extra" bits + AC EOB
+    return soi + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+
+def test_oversized_dc_category_no_crash():
+    """The 255-bit DC category must not crash the native decoder (OOB
+    read / UB shift); clean failure or a verified roundtrip are both
+    acceptable outcomes."""
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = _malicious_dc_category_jpeg()
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r)\n"
+         "from lepton_tpu.api import compress, decompress\n"
+         "data = sys.stdin.buffer.read()\n"
+         "try:\n"
+         "    lep = compress(data)\n"
+         "    assert decompress(lep) == data\n"
+         "    print('roundtrip')\n"
+         "except Exception as e:\n"
+         "    print('rejected', type(e).__name__)\n" % repo],
+        input=data, capture_output=True, timeout=120)
+    assert r.returncode == 0, (r.returncode, r.stderr.decode())
+    assert r.stdout.strip().split()[0] in (b"roundtrip", b"rejected"), \
+        r.stdout

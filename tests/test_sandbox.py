@@ -107,3 +107,66 @@ def test_memory_envelope(tmp_path):
     r = _run(["-memory=48M", "-unjailed", src, out2])
     assert r.returncode != 0
     assert not os.path.exists(out2) or os.path.getsize(out2) == 0
+
+
+@jail
+def test_timing_log_survives_jail(tmp_path):
+    """-timing= must not die under the jail: the log fd is opened in
+    _prepare_for_jail (pre-seccomp), so the transcode completes and the
+    log is written (ADVICE r1: openat under SECCOMP_RET_KILL_PROCESS
+    raises SIGSYS, not OSError)."""
+    src = os.path.join(IMAGES, "androidcrop.jpg")
+    lep = str(tmp_path / "t.lep")
+    log = str(tmp_path / "timing.log")
+    r = _run([f"-timing={log}", src, lep])
+    assert r.returncode == 0, (r.returncode, r.stderr)
+    assert os.path.getsize(lep) > 0
+    assert os.path.exists(log) and os.path.getsize(log) > 0
+
+
+@jail
+def test_stdin_mode_is_jailed(tmp_path):
+    """Piped transcodes (no file operands) run under the same default-on
+    jail: -injectsyscall=1 must die with SIGSYS in stdin/stdout mode too
+    (ADVICE r1: the no-files branch used to return before jailing)."""
+    src = open(os.path.join(IMAGES, "androidcrop.jpg"), "rb").read()
+    r = _run(["-injectsyscall=1"], input=src)
+    assert r.returncode in (-signal.SIGSYS, 128 + signal.SIGSYS, 159), \
+        (r.returncode, r.stderr)
+    # and a clean piped roundtrip still works under the jail
+    r = _run([], input=src)
+    assert r.returncode == 0, r.stderr
+    r2 = _run([], input=r.stdout)
+    assert r2.returncode == 0 and r2.stdout == src
+
+
+def test_recodememory_checks_fallback_bound(tmp_path):
+    """-recodememory on a v3 (ANS) container must check the bound of the
+    decode that actually runs: decompress_streaming falls back to the
+    full-framebuffer decode for v3, which needs more memory (ADVICE r1).
+    A limit that only covers the streaming footprint must exit 38."""
+    sys.path.insert(0, REPO)
+    from lepton_tpu.api import read_container, image_info_from_header
+    from lepton_tpu.util.membound import decompression_memory_bound
+
+    src = os.path.join(IMAGES, "androidcrop.jpg")
+    lep = str(tmp_path / "a.lep")
+    r = _run(["-ans", "-unjailed", src, lep])
+    assert r.returncode == 0, r.stderr
+    hdr, _ = read_container(open(lep, "rb").read())
+    assert hdr.version == 3
+    info = image_info_from_header(hdr.hdrdata, allow_34=True)
+    lo = decompression_memory_bound(info, hdr.num_threads,
+                                    hdr.original_size, streaming=True)
+    hi = decompression_memory_bound(info, hdr.num_threads,
+                                    hdr.original_size, streaming=False)
+    assert lo < hi
+    mid = (lo + hi) // 2
+    r = _run([f"-recodememory={mid}", "-unjailed", lep,
+              str(tmp_path / "a.jpg")])
+    assert r.returncode == 38, (r.returncode, r.stderr)
+    r = _run([f"-recodememory={hi + 1}", "-unjailed", lep,
+              str(tmp_path / "a2.jpg")])
+    assert r.returncode == 0, (r.returncode, r.stderr)
+    assert open(tmp_path / "a2.jpg", "rb").read() == \
+        open(src, "rb").read()
