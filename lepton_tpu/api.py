@@ -595,20 +595,25 @@ def ujg_decompress(ujg_data: bytes) -> bytes:
 
 def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
                  window: int = 8, allow_progressive: bool = False,
-                 allow_four_colors: bool = False) -> bytes:
-    """TPU-path encode: entropy phase-B runs on the accelerator.
+                 allow_four_colors: bool = False,
+                 symbolizer: str = "jax") -> bytes:
+    """TPU-path encode: symbolization AND entropy phase-B run on the
+    accelerator.
 
     Pipeline (SURVEY.md section 7 two-phase design): host JPEG parse +
-    Huffman decode, native symbolization per segment (branch-index/bit
-    streams), then the adaptive VPX coding of ALL segments in lockstep on
-    TPU lanes (kernels.vpx_scan.encode_streams_windowed), host carry
-    resolution + container.  Output decodes with decompress() and the
-    reference binary alike; with matching segment counts it is
-    byte-identical to the host encoder's.
+    Huffman decode, then phase A + symbolization as batched array programs
+    (kernels.symbolize: contexts, token decomposition, branch indices),
+    then the adaptive VPX coding of ALL segments in lockstep on TPU lanes
+    (kernels.vpx_scan.encode_streams_windowed), host carry resolution +
+    container.  No native code runs between coefficients and the mux.
+    Output decodes with decompress() and the reference binary alike; with
+    matching segment counts it is byte-identical to the host encoder's.
+
+    symbolizer: "jax" (default, on-device) or "native" (C host fallback,
+    kept as the differential-testing oracle).
     """
     import jax
 
-    from . import _native
     from .kernels import vpx_scan
 
     parsed = parse_jpeg(jpeg_data)
@@ -623,20 +628,29 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
                                      num_segments, 1)
     splits = select_splits(row_handoffs, num_threads, False)
     max_heights, comp_sizes = _truncation_geometry(info, dec)
-    native = _native_image(info, dec.planes, max_heights, comp_sizes)
-    if native is None:
-        raise LeptonError("native symbolizer unavailable")
     _apply_model_env()
 
-    segs = []
-    jobs = []
-    for i, th in enumerate(splits):
-        is_last = i == len(splits) - 1
-        end_y = (splits[i + 1].luma_y_start if not is_last
-                 else info.cmpnfo[0].bcv)
-        jobs.append((th.luma_y_start, end_y, is_last))
-        segs.append(_native.native_symbolize_segment(
-            native, th.luma_y_start, end_y, is_last))
+    if symbolizer == "jax":
+        from .kernels.encode_pipeline import symbolize_image
+        from .model.context import ColorTables
+        colors = [ColorTables(info.qtables[info.cmpnfo[c].qtable_index])
+                  for c in range(info.cmpc)]
+        segs, _ = symbolize_image(
+            list(dec.planes), colors, info.mcuv, max_heights, comp_sizes,
+            [th.luma_y_start for th in splits],
+            color_index=(lambda c: 0 if c == 0 else 1))
+    else:
+        from . import _native
+        native = _native_image(info, dec.planes, max_heights, comp_sizes)
+        if native is None:
+            raise LeptonError("native symbolizer unavailable")
+        segs = []
+        for i, th in enumerate(splits):
+            is_last = i == len(splits) - 1
+            end_y = (splits[i + 1].luma_y_start if not is_last
+                     else info.cmpnfo[0].bcv)
+            segs.append(_native.native_symbolize_segment(
+                native, th.luma_y_start, end_y, is_last))
 
     idxs, bits = vpx_scan.build_symbol_streams(segs)
     out = vpx_scan.encode_streams_windowed(jax.device_put(idxs),

@@ -255,10 +255,16 @@ def block_bit_cost(coefs: jnp.ndarray) -> jnp.ndarray:
 
 
 def phase_a(coefs: jnp.ndarray, quant: jnp.ndarray,
-            icos_x: jnp.ndarray, icos_y: jnp.ndarray):
+            icos_x: jnp.ndarray, icos_y: jnp.ndarray,
+            row_has_above: jnp.ndarray = None):
     """Full phase-A bundle for one component plane (planar layout; the
-    blockwise composition below is kept as phase_a_reference)."""
-    return phase_a_planar(coefs, quant, icos_x, icos_y)
+    blockwise composition below is kept as phase_a_reference).
+
+    row_has_above: optional bool [H] marking rows whose above-context is
+    present; segment-top rows get False (the is_top_row reset of
+    lepton_codec.hh:173-181), so one whole-plane call serves any
+    segmentation.  Default: every row but the first."""
+    return phase_a_planar(coefs, quant, icos_x, icos_y, row_has_above)
 
 
 def phase_a_reference(coefs: jnp.ndarray, quant: jnp.ndarray,
@@ -367,25 +373,32 @@ def _shift_left(p: jnp.ndarray) -> jnp.ndarray:
 
 
 def phase_a_planar(coefs: jnp.ndarray, quant: jnp.ndarray,
-                   icos_x: jnp.ndarray, icos_y: jnp.ndarray):
+                   icos_x: jnp.ndarray, icos_y: jnp.ndarray,
+                   row_has_above: jnp.ndarray = None):
     H, W = coefs.shape[0], coefs.shape[1]
     cp = _planar(coefs)                       # [64, H, W] int32
     q = quant.astype(jnp.int32)
     q0 = q[0]
     has_left = (jnp.arange(W) > 0)[None, :]
-    has_above = (jnp.arange(H) > 0)[:, None]
+    if row_has_above is None:
+        has_above = (jnp.arange(H) > 0)[:, None]
+    else:
+        has_above = row_has_above.astype(bool)[:, None]
 
     # ---- pixels (ignore-dc IDCT) + neighbor summary edges
     px = _idct_planar(cp, quant, ignore_dc=True)   # 64 planes [H, W]
     # the scalar idct stores int16 pixels (idct.cc out[64] int16): wrap
     px = [p.astype(jnp.int16).astype(jnp.int32) for p in px]
     dc = cp[0]
-    vert = [dc * q0 + px[i * 8 + 7] + 1024
-            + _div2_toward_zero(px[i * 8 + 7] - px[i * 8 + 6])
-            for i in range(8)]
-    horiz = [dc * q0 + px[56 + i] + 1024
-             + _div2_toward_zero(px[56 + i] - px[48 + i])
-             for i in range(8)]
+    # NeighborSummary stores edges as int16 (block_context.hh): wrap here
+    # so the DC prediction below reads the same wrapped values the scalar
+    # path does (matters only when an edge value overflows 16 bits)
+    vert = [(dc * q0 + px[i * 8 + 7] + 1024
+             + _div2_toward_zero(px[i * 8 + 7] - px[i * 8 + 6])
+             ).astype(jnp.int16).astype(jnp.int32) for i in range(8)]
+    horiz = [(dc * q0 + px[56 + i] + 1024
+              + _div2_toward_zero(px[56 + i] - px[48 + i])
+              ).astype(jnp.int16).astype(jnp.int32) for i in range(8)]
     edges = jnp.stack(vert + horiz, axis=-1).astype(jnp.int16)
 
     nz7 = sum((cp[r * 8 + col] != 0).astype(jnp.int32)
