@@ -306,6 +306,34 @@ def bench_tpu_phase_b():
         return dict(error=repr(e)[:200])
 
 
+def bench_tpu_decode():
+    """Lane-parallel TPU token decoder (kernels/vpx_decode): decode a
+    4-segment container on-device, verify bit-exactness, report block
+    throughput (second call: compile excluded)."""
+    try:
+        import jax
+        from lepton_tpu.api import compress, decompress_tpu, decompress
+
+        path = os.path.join(IMAGES_DIR, "androidcrop.jpg")
+        data = open(path, "rb").read()
+        lep = compress(data, min_threads=4)
+        out = decompress_tpu(lep)           # compile + correctness gate
+        assert out == data
+        t0 = time.perf_counter()
+        out = decompress_tpu(lep)
+        dt = time.perf_counter() - t0
+        nblocks = (126 * 86 + 2 * 63 * 43)
+        return dict(
+            backend=jax.devices()[0].platform,
+            segments=4,
+            blocks=nblocks,
+            decode_kblocks_per_s=round(nblocks / dt / 1e3, 2),
+            bit_exact=True,
+        )
+    except Exception as e:
+        return dict(error=repr(e)[:200])
+
+
 def main():
     host = bench_host()
     lep_sizes = host.pop("lep_sizes", {})
@@ -313,6 +341,7 @@ def main():
     ans = bench_ans_v3()
     tpu = bench_tpu_phase_a()
     tpu_b = bench_tpu_phase_b()
+    tpu_d = bench_tpu_decode()
     value = host["roundtrip_mbps"]
     baseline = ref_live if ref_live else REFERENCE_ROUNDTRIP_MBPS
     result = {
@@ -328,6 +357,7 @@ def main():
         "ans_v3": ans,
         "tpu_phase_a": tpu,
         "tpu_phase_b": tpu_b,
+        "tpu_decode": tpu_d,
     }
     print(json.dumps(result))
 

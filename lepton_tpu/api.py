@@ -344,6 +344,57 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
     return out
 
 
+def decompress_tpu(lep_data: bytes, mesh=None) -> bytes:
+    """TPU-path decode: the per-segment adaptive VPX token decoding runs
+    on the accelerator (kernels.vpx_decode: lanes = segments, one block
+    per lane per scan step, predicated lockstep reads), then the host
+    re-emits the Huffman scan.  Output is bit-exact with decompress().
+
+    Covers mode-Z v1/v2 containers (the TPU kernel is the baseline token
+    parser); v3/ANS and progressive fall back to the host decoder.
+    """
+    hdr, mux_region = read_container(lep_data)
+    if hdr.version == 3 or hdr.mode != ord("Z"):
+        return decompress(lep_data)
+    info = image_info_from_header(hdr.hdrdata, allow_34=True)
+    max_heights, comp_sizes = _truncation_geometry(info, hdr)
+
+    handoffs = hdr.handoffs
+    if not handoffs:
+        mark = mux_region[0]
+        if mark == 0:
+            raise LeptonError("legacy file with zero threads")
+        splits = [int.from_bytes(mux_region[1 + 2 * i:3 + 2 * i], "little")
+                  for i in range(mark - 1)]
+        mux_region = mux_region[1 + 2 * (mark - 1):]
+        bounds = [0] + splits + [info.cmpnfo[0].bcv]
+        handoffs = [
+            ThreadHandoff(luma_y_start=bounds[i], luma_y_end=bounds[i + 1],
+                          num_overhang_bits=ThreadHandoff.LEGACY_OVERHANG_BITS)
+            for i in range(mark)]
+    handoffs[-1].luma_y_end = info.cmpnfo[0].bcv
+    demux = MuxReader(mux_region)
+    streams = [bytes(demux.buffers[i]) for i in range(len(handoffs))]
+    splits_y = [th.luma_y_start for th in handoffs]
+
+    from .kernels.vpx_decode import decode_segments_tpu
+    colors = _color_tables(info)
+    planes, err = decode_segments_tpu(
+        streams,
+        [(info.cmpnfo[c].bcv, info.cmpnfo[c].bch)
+         for c in range(info.cmpc)],
+        colors, info.mcuv, max_heights, comp_sizes, splits_y,
+        color_index=(lambda c: 0 if c == 0 else 1), mesh=mesh)
+    if err.any():
+        raise LeptonError("lepton stream inconsistent (TPU decode)")
+
+    info2 = image_info_from_header(hdr.hdrdata, allow_34=True)
+    return recode_baseline_jpeg(
+        hdr.hdrdata, planes, handoffs, info2, hdr.padbit,
+        hdr.rst_cnt, hdr.rst_cnt_set, hdr.rst_err, hdr.garbage,
+        hdr.original_size, hdr.prefix_garbage, hdr.embedded_jpeg)
+
+
 # The fake 1x1 grayscale JPEG header used to wrap non-JPEG inputs
 # (reference generic_compress.cc:38-53 basic_header)
 _BASIC_HEADER = bytes([

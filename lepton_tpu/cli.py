@@ -92,8 +92,19 @@ def main(argv=None) -> int:
             return 0
         elif arg == "-singlethread":
             opts["singlethread"] = True
+        elif arg in ("-multithread", "-m"):
+            # re-enable threading after -singlethread (jpgcoder.cc:1061)
+            opts["singlethread"] = False
         elif arg == "-allowprogressive":
             opts["allow_progressive"] = True
+        elif arg == "-forceprogressive":
+            # allow progressive AND keep the full-framebuffer progressive
+            # machinery active even for mode Z/Y files (jpgcoder.cc:1052,
+            # :2163); our decoder always decodes mode Z from the full
+            # plane store, so the decode side is inherently satisfied
+            opts["allow_progressive"] = True
+        elif arg.startswith("-defermd5"):
+            pass  # accepted and ignored, like the reference (:1072)
         elif arg == "-allowfourcolors":
             opts["allow_four_colors"] = True
         elif arg == "-allow34sampling":
