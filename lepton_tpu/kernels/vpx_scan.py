@@ -20,6 +20,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .. import constants as C
 from ..model.branch import next_state_lut
@@ -264,3 +265,355 @@ def encode_streams_windowed(idxs: jnp.ndarray, bits: jnp.ndarray,
     carry = carry.reshape(pad_L, S)[:L]
     nbytes = jnp.sum(emit, axis=0).astype(jnp.int32)
     return emit, byte, carry, nbytes
+
+
+# ---------------------------------------------------------------------------
+# Packed-state phase-B encoder
+#
+# The lax.scan variants above carry the branch arena as a separate [S,
+# ARENA, 3] uint8 array and emit per-step outputs derived from PRE-update
+# gathers; XLA's in-place analysis then copies the whole arena every scan
+# step (one full-arena HBM copy per step: measured 104us/step at 64 lanes
+# on a v5e -- exactly 138MB at HBM bandwidth -- and the r1 "phase-B is
+# 40x slower than C" finding).  This variant applies the packed-state
+# discipline proven in kernels/vpx_decode.py: one uint32 buffer per lane
+# holds packed branches + writer registers + the window's output slots;
+# each window does ONE gather + ONE scatter, and the emitted bytes are
+# re-read from the POST-update buffer (static column slices), so nothing
+# derived from the old version survives the update and XLA keeps the
+# whole chain in place.
+# ---------------------------------------------------------------------------
+
+E_LOW = ARENA_SIZE
+E_RNG = ARENA_SIZE + 1
+E_CNT = ARENA_SIZE + 2
+E_DUMP = ARENA_SIZE + 3          # superseded / PAD / fixed-prob writes
+E_OUT = ARENA_SIZE + 4           # 3*W output slots follow
+
+_PLUT_ENC = None
+
+
+def _packed_enc_lut():
+    global _PLUT_ENC
+    if _PLUT_ENC is None:
+        from ..model.branch import next_state_lut
+        lut = next_state_lut().astype(np.uint32)
+        _PLUT_ENC = ((lut[..., 0] << 16) | (lut[..., 1] << 8)
+                     | lut[..., 2]).reshape(-1)
+    return _PLUT_ENC
+
+
+@partial(jax.jit, static_argnames=("window",))
+def encode_streams_packed(idxs: jnp.ndarray, bits: jnp.ndarray,
+                          window: int = 8):
+    """Packed-state windowed phase-B encoder (same contract as
+    encode_streams_windowed: returns emit [L,S], byte [L,S], carry [L,S],
+    nbytes [S])."""
+    S, L = idxs.shape
+    W = window
+    pad_L = (L + W - 1) // W * W
+    if pad_L != L:
+        idxs = jnp.pad(idxs, ((0, 0), (0, pad_L - L)), constant_values=PAD)
+        bits = jnp.pad(bits, ((0, 0), (0, pad_L - L)))
+    nslot = E_OUT + 3 * W
+    plut = jnp.asarray(_packed_enc_lut())
+    vpx_norm = jnp.asarray(_VPX_NORM_NP)
+    lanes = jnp.arange(S)
+
+    buf = jnp.full((S, nslot), np.uint32(0x010180), dtype=jnp.uint32)
+    buf = buf.at[:, E_LOW:].set(0)
+    buf = buf.at[:, E_RNG].set(255)
+    buf = buf.at[:, E_CNT].set(
+        lax.bitcast_convert_type(jnp.full(S, -24, jnp.int32), jnp.uint32))
+
+    out_cols = jnp.arange(E_OUT, E_OUT + 3 * W, dtype=jnp.int32)
+
+    def step(buf, xs):
+        idx_w, bit_w = xs                  # [W, S]
+        safe_idx = jnp.maximum(idx_w, 0)
+        gathered = buf[lanes[None, :], jnp.minimum(safe_idx, ARENA_SIZE - 1)]
+        low = buf[:, E_LOW]
+        rng = lax.bitcast_convert_type(buf[:, E_RNG], jnp.int32)
+        count = lax.bitcast_convert_type(buf[:, E_CNT], jnp.int32)
+
+        upd_states = []
+        emits, bytes_, carries = [], [], []
+        for k in range(W):
+            idx = idx_w[k]
+            bit = bit_w[k].astype(jnp.int32)
+            valid = idx != PAD
+            adaptive = idx >= 0
+            cur = gathered[k]
+            # in-window same-branch forwarding: use the freshest state
+            for j in range(k - 1, -1, -1):
+                m = adaptive & (idx == idx_w[j])
+                cur = jnp.where(m, upd_states[j], cur)
+            prob = jnp.where(adaptive, (cur & 0xFF).astype(jnp.int32), 128)
+            # vpx_write (boolwriter.hh:48-118)
+            split = 1 + (((rng - 1) * prob) >> 8)
+            low2 = jnp.where(bit != 0, low + split.astype(jnp.uint32), low)
+            rng2 = jnp.where(bit != 0, rng - split, split)
+            shift = vpx_norm[rng2]
+            rng3 = rng2 << shift
+            count2 = count + shift
+            emit = (count2 >= 0) & valid
+            offset = shift - count2
+            carry_flag = emit & (
+                ((low2 << jnp.maximum(offset - 1, 0).astype(jnp.uint32))
+                 >> 31) & 1).astype(jnp.bool_)
+            byte = ((low2 >> jnp.clip(24 - offset, 0, 31).astype(jnp.uint32))
+                    & 0xFF)
+            low_emit = ((low2 << jnp.maximum(offset, 0).astype(jnp.uint32))
+                        & 0xFFFFFF) << jnp.maximum(count2, 0).astype(
+                            jnp.uint32)
+            low_noemit = low2 << shift.astype(jnp.uint32)
+            low3 = jnp.where(emit, low_emit, low_noemit)
+            count3 = jnp.where(emit, count2 - 8, count2)
+            low = jnp.where(valid, low3, low)
+            rng = jnp.where(valid, rng3, rng)
+            count = jnp.where(valid, count3, count)
+            nb = plut[(((cur >> 8) << 1).astype(jnp.int32)) | bit]
+            upd_states.append(jnp.where(adaptive, nb, cur))
+            emits.append(emit)
+            bytes_.append(byte)
+            carries.append(carry_flag)
+
+        # scatter columns: W branch writes (superseded duplicates routed
+        # to the dump slot), 3 registers, 3W output slots -- one scatter
+        scat_cols = []
+        scat_vals = []
+        for k in range(W):
+            superseded = jnp.zeros_like(idx_w[k], dtype=bool)
+            for j in range(k + 1, W):
+                superseded = superseded | (idx_w[j] == idx_w[k])
+            ok = (idx_w[k] >= 0) & ~superseded
+            scat_cols.append(jnp.where(ok, idx_w[k], E_DUMP))
+            scat_vals.append(upd_states[k])
+        reg_cols = jnp.stack(
+            [jnp.full(S, E_LOW, jnp.int32), jnp.full(S, E_RNG, jnp.int32),
+             jnp.full(S, E_CNT, jnp.int32)], axis=1)
+        reg_vals = jnp.stack(
+            [low, lax.bitcast_convert_type(rng, jnp.uint32),
+             lax.bitcast_convert_type(count, jnp.uint32)], axis=1)
+        out_vals = jnp.stack(
+            [e.astype(jnp.uint32) for e in emits]
+            + [b for b in bytes_]
+            + [c.astype(jnp.uint32) for c in carries], axis=1)
+        cols = jnp.concatenate(
+            [jnp.stack(scat_cols, axis=1), reg_cols,
+             jnp.broadcast_to(out_cols[None, :], (S, 3 * W))], axis=1)
+        vals = jnp.concatenate(
+            [jnp.stack(scat_vals, axis=1), reg_vals, out_vals], axis=1)
+        buf = buf.at[lanes[:, None], cols].set(vals)
+
+        # outputs re-read from the POST-update buffer (static slices):
+        # nothing derived from the old version survives the scatter
+        outs = buf[:, E_OUT:E_OUT + 3 * W]
+        emit_o = outs[:, :W].T.astype(bool)                 # [W, S]
+        byte_o = outs[:, W:2 * W].T.astype(jnp.uint8)
+        carry_o = outs[:, 2 * W:].T.astype(bool)
+        return buf, (emit_o, byte_o, carry_o)
+
+    steps = pad_L // W
+    ixs = idxs.T.reshape(steps, W, S)
+    bxs = bits.T.reshape(steps, W, S)
+    buf, ys = lax.scan(step, buf, (ixs, bxs))
+    emit, byte, carry = ys                 # [steps, W, S]
+    emit = emit.reshape(pad_L, S)[:L]
+    byte = byte.reshape(pad_L, S)[:L]
+    carry = carry.reshape(pad_L, S)[:L]
+    nbytes = jnp.sum(emit, axis=0).astype(jnp.int32)
+    return emit, byte, carry, nbytes
+
+
+# ---------------------------------------------------------------------------
+# Sort-based two-pass phase-B: the TPU-native formulation
+#
+# The adaptive model is a per-branch recurrence: the state a branch has
+# at its k-th occurrence depends only on the bits previously coded ON
+# THAT BRANCH.  A stable sort of the symbol stream by branch index makes
+# every branch's observation sequence contiguous, so the model pass
+# becomes a register-only chain (packed 24-bit state + readonly LUT
+# lookups) -- the arena is NEVER materialized and there are NO scatters,
+# the two operations TPUs serialize on.  Unsorting the resulting
+# probabilities (one vectorized gather) feeds the arithmetic pass, which
+# is the plain vpx_write register chain.  Lanes are free: state is O(1)
+# per lane, so thousands of segments batch onto one chip.
+#
+# This is the same modeling/serialization decoupling the reference's
+# rANS backend exploits (SURVEY.md section 2.4 "the key TPU insight"),
+# applied to the bit-exact VPX coder.
+# ---------------------------------------------------------------------------
+
+_IDENT_BRANCH = np.uint32(0x010180)     # (1, 1, 128) packed
+
+
+def _exact_div_f32(n, d):
+    """Exact floor(n/d) for 0 <= n <= 2^17, 1 <= d <= 2^10 via one f32
+    division + a +-1 fixup (integer division lowers to a long multi-op
+    sequence on the VPU; this is ~6 ops).  Exhaustively verified over
+    the branch-update domain in tests."""
+    q = (n.astype(jnp.float32) / d.astype(jnp.float32)).astype(jnp.int32)
+    r = n - q * d
+    q = q + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return q
+
+
+def _branch_update_arith(fc, tc, bit):
+    """Branch::record_obs_and_update as pure vector arithmetic
+    (branch.hh:82-100) -- no transition-LUT gather, which TPUs serialize,
+    and a single division per observation.
+    fc/tc int32 [S] pre-observation counts; returns (fc', tc', prob')."""
+    tot = fc + tc + 1
+    obs = bit != 0
+    # non-overflow updates
+    nfc = jnp.where(obs, fc, fc + 1)
+    ntc = jnp.where(obs, tc + 1, tc)
+    # overflow: halve the other count to (1+c)>>1, set own to 129
+    ovf = jnp.where(obs, tc == 0xFF, fc == 0xFF)
+    hfc = (1 + fc) >> 1
+    htc = (1 + tc) >> 1
+    ofc = jnp.where(obs, hfc, 129)
+    otc = jnp.where(obs, 129, htc)
+    nfc = jnp.where(ovf, ofc, nfc)
+    ntc = jnp.where(ovf, otc, ntc)
+    numer = jnp.where(ovf, ofc, jnp.where(obs, fc, fc + 1)) << 8
+    denom = jnp.where(ovf, ofc + otc, tot)
+    nprob = _exact_div_f32(numer, denom)
+    # never-seen saturation (the other count still at identity)
+    never = ovf & jnp.where(obs, fc == 1, tc == 1)
+    nfc = jnp.where(never, jnp.where(obs, 1, 0xFF), nfc)
+    ntc = jnp.where(never, jnp.where(obs, 0xFF, 1), ntc)
+    nprob = jnp.where(never, jnp.where(obs, 0, 255), nprob)
+    return nfc, ntc, nprob
+
+
+@partial(jax.jit, static_argnames=("window",))
+def model_probs_sorted(idxs: jnp.ndarray, bits: jnp.ndarray,
+                       window: int = 32):
+    """Per-symbol coding probabilities via the sorted-branch model pass.
+
+    idxs int32 [S, L] (PAD / FIXED_PROB / branch), bits uint8 [S, L].
+    Returns probs int32 [S, L] in STREAM order: the adaptive probability
+    each symbol is coded with (128 for FIXED_PROB/PAD slots).
+    """
+    S, L = idxs.shape
+    W = window
+    pad_L = (L + W - 1) // W * W
+    if pad_L != L:
+        idxs = jnp.pad(idxs, ((0, 0), (0, pad_L - L)), constant_values=PAD)
+        bits = jnp.pad(bits, ((0, 0), (0, pad_L - L)))
+    # ONE multi-operand stable sort carries the payloads with the keys
+    # (take_along_axis gathers and argsort are each as expensive as the
+    # sort itself on TPU)
+    pos0 = jnp.broadcast_to(jnp.arange(idxs.shape[1], dtype=jnp.int32),
+                            idxs.shape)
+    sidx, sbit, pos = lax.sort(
+        (idxs, bits.astype(jnp.int32), pos0), dimension=1,
+        is_stable=True, num_keys=1)
+    prev = jnp.concatenate(
+        [jnp.full((S, 1), -(1 << 30), jnp.int32), sidx[:, :-1]], axis=1)
+    newseg = sidx != prev
+
+    steps = pad_L // W
+    xs = (sidx.T.reshape(steps, W, S), sbit.T.reshape(steps, W, S),
+          newseg.T.reshape(steps, W, S))
+
+    def step(state, x):
+        si, sb, ns = x                   # [W, S]
+        fc, tc, prob = state             # int32 [S] registers
+        probs = []
+        for k in range(W):
+            adaptive = si[k] >= 0
+            fc = jnp.where(ns[k], 1, fc)
+            tc = jnp.where(ns[k], 1, tc)
+            prob = jnp.where(ns[k], 128, prob)
+            probs.append(jnp.where(adaptive, prob, 128))
+            fc2, tc2, prob2 = _branch_update_arith(fc, tc, sb[k])
+            fc = jnp.where(adaptive, fc2, fc)
+            tc = jnp.where(adaptive, tc2, tc)
+            prob = jnp.where(adaptive, prob2, prob)
+        return (fc, tc, prob), jnp.stack(probs)   # [W, S]
+
+    ident = (jnp.ones(S, jnp.int32), jnp.ones(S, jnp.int32),
+             jnp.full(S, 128, jnp.int32))
+    _, probs_sorted = lax.scan(step, ident, xs)          # [steps, W, S]
+    probs_sorted = probs_sorted.reshape(pad_L, S).T      # [S, padL]
+    # unsort by sorting on the carried original positions (a permutation,
+    # so stability is irrelevant) -- again one sort, no argsort/gather
+    _, probs = lax.sort((pos, probs_sorted), dimension=1,
+                        is_stable=False, num_keys=1)
+    return probs[:, :L]
+
+
+@partial(jax.jit, static_argnames=("window",))
+def arith_pass(idxs: jnp.ndarray, bits: jnp.ndarray, probs: jnp.ndarray,
+               window: int = 32):
+    """The pure vpx_write register chain with precomputed probabilities.
+    Same output contract as encode_streams: (emit, byte, carry [L, S],
+    nbytes [S])."""
+    S, L = idxs.shape
+    W = window
+    pad_L = (L + W - 1) // W * W
+    if pad_L != L:
+        idxs = jnp.pad(idxs, ((0, 0), (0, pad_L - L)), constant_values=PAD)
+        bits = jnp.pad(bits, ((0, 0), (0, pad_L - L)))
+        probs = jnp.pad(probs, ((0, 0), (0, pad_L - L)),
+                        constant_values=128)
+    steps = pad_L // W
+    xs = (idxs.T.reshape(steps, W, S), bits.T.reshape(steps, W, S),
+          probs.T.reshape(steps, W, S))
+
+    def step(carry, x):
+        low, rng, count = carry
+        iw, bw, pw = x
+        emits, bytes_, carries = [], [], []
+        for k in range(W):
+            valid = iw[k] != PAD
+            bit = bw[k].astype(jnp.int32)
+            prob = pw[k]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            low2 = jnp.where(bit != 0, low + split.astype(jnp.uint32), low)
+            rng2 = jnp.where(bit != 0, rng - split, split)
+            # VPX_NORM[r] == clz32(r) - 24 for r in 1..255: pure ALU
+            shift = lax.clz(rng2) - 24
+            rng3 = rng2 << shift
+            count2 = count + shift
+            emit = (count2 >= 0) & valid
+            offset = shift - count2
+            carry_flag = emit & (
+                ((low2 << jnp.maximum(offset - 1, 0).astype(jnp.uint32))
+                 >> 31) & 1).astype(jnp.bool_)
+            byte = ((low2 >> jnp.clip(24 - offset, 0, 31).astype(jnp.uint32))
+                    & 0xFF).astype(jnp.uint8)
+            low_emit = ((low2 << jnp.maximum(offset, 0).astype(jnp.uint32))
+                        & 0xFFFFFF) << jnp.maximum(count2, 0).astype(
+                            jnp.uint32)
+            low_noemit = low2 << shift.astype(jnp.uint32)
+            low = jnp.where(valid, jnp.where(emit, low_emit, low_noemit),
+                            low)
+            rng = jnp.where(valid, rng3, rng)
+            count = jnp.where(valid, jnp.where(emit, count2 - 8, count2),
+                              count)
+            emits.append(emit)
+            bytes_.append(byte)
+            carries.append(carry_flag)
+        return (low, rng, count), (jnp.stack(emits), jnp.stack(bytes_),
+                                   jnp.stack(carries))
+
+    carry0 = (jnp.zeros(S, jnp.uint32), jnp.full(S, 255, jnp.int32),
+              jnp.full(S, -24, jnp.int32))
+    _, ys = lax.scan(step, carry0, xs)
+    emit, byte, carry = ys
+    emit = emit.reshape(pad_L, S)[:L]
+    byte = byte.reshape(pad_L, S)[:L]
+    carry = carry.reshape(pad_L, S)[:L]
+    nbytes = jnp.sum(emit, axis=0).astype(jnp.int32)
+    return emit, byte, carry, nbytes
+
+
+def encode_streams_twopass(idxs, bits, window: int = 32):
+    """Sort-based two-pass phase-B (see banner above): bit-exact with
+    encode_streams, no arena, no scatters, O(1) state per lane."""
+    probs = model_probs_sorted(idxs, bits, window)
+    return arith_pass(idxs, bits, probs, window)

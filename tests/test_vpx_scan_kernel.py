@@ -8,6 +8,7 @@ jax = pytest.importorskip("jax")
 
 from lepton_tpu.coder.vpx import BoolWriter  # noqa: E402
 from lepton_tpu.kernels import vpx_scan  # noqa: E402
+from lepton_tpu.kernels import vpx_scan as V  # noqa: E402
 from lepton_tpu.model.branch import update_branch  # noqa: E402
 from lepton_tpu.model.tables import ARENA_SIZE  # noqa: E402
 
@@ -85,3 +86,38 @@ def test_compress_tpu_byte_identical(ref_images=None):
     tp = compress_tpu(pdata, num_segments=8, allow_progressive=True)
     assert tp == compress(pdata, allow_progressive=True)
     assert decompress(tp) == pdata
+
+
+def test_twopass_matches_reference_scan():
+    """Sort-based two-pass encoder == the reference lockstep scan on
+    adversarial streams: heavy same-branch repeats (sort segments +
+    count-overflow paths), fixed-prob markers, trailing PAD."""
+    rng = random.Random(11)
+    segs = []
+    for s in range(4):
+        n = 700 + 131 * s
+        # clustered indices force long per-branch runs and overflows
+        idx = [rng.randrange(8) if rng.random() < 0.7
+               else rng.randrange(ARENA_SIZE) for _ in range(n)]
+        bit = [rng.randrange(2) for _ in range(n)]
+        # sprinkle fixed-prob symbols mid-stream
+        for k in range(0, n, 97):
+            idx[k] = V.FIXED_PROB
+        segs.append((np.asarray(idx, np.int32), np.asarray(bit, np.uint8)))
+    idxs, bits = V.build_symbol_streams(segs)
+    o1 = V.encode_streams(idxs, bits)
+    for W in (8, 32):
+        o2 = V.encode_streams_twopass(idxs, bits, window=W)
+        for a, b in zip(o1, o2):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), W
+
+
+def test_exact_div_f32_branch_domain():
+    """The gather-free branch update's f32 divider is exact over the
+    full domain the model uses (numer = c<<8, c<=256; denom <= 512)."""
+    import jax.numpy as jnp
+    c = np.repeat(np.arange(257), 512)
+    d = np.tile(np.arange(1, 513), 257)
+    q = np.asarray(V._exact_div_f32(jnp.asarray(c << 8, jnp.int32),
+                                    jnp.asarray(d, jnp.int32)))
+    assert np.array_equal(q, (c << 8) // d)
