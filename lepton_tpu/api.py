@@ -647,7 +647,7 @@ def ujg_decompress(ujg_data: bytes) -> bytes:
 def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
                  window: int = 32, allow_progressive: bool = False,
                  allow_four_colors: bool = False,
-                 symbolizer: str = "jax") -> bytes:
+                 symbolizer: str = "jax", version: int = 1) -> bytes:
     """TPU-path encode: symbolization AND entropy phase-B run on the
     accelerator.
 
@@ -664,6 +664,9 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
 
     symbolizer: "jax" (default, on-device) or "native" (C host fallback,
     kept as the differential-testing oracle).
+    version: 1/2 for the VPX coder, 3 for the rANS backend (the
+    sorted-branch model pass with the adv update rule + the reverse
+    rANS register chain, kernels.vpx_scan.encode_streams_ans).
     """
     import jax
 
@@ -705,15 +708,19 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
             segs.append(_native.native_symbolize_segment(
                 native, th.luma_y_start, end_y, is_last))
 
-    idxs, bits = vpx_scan.build_symbol_streams(segs)
-    out = vpx_scan.encode_streams_twopass(jax.device_put(idxs),
-                                          jax.device_put(bits),
-                                          window=window)
-    emit, byte, carry, nbytes = [np.asarray(x) for x in out]
-    streams = vpx_scan.finalize_streams(emit, byte, carry, nbytes)
+    if version == 3:
+        # rANS framing has no marker/stop bits: raw per-segment streams
+        streams = vpx_scan.encode_streams_ans(segs, window=window)
+    else:
+        idxs, bits = vpx_scan.build_symbol_streams(segs)
+        out = vpx_scan.encode_streams_twopass(jax.device_put(idxs),
+                                              jax.device_put(bits),
+                                              window=window)
+        emit, byte, carry, nbytes = [np.asarray(x) for x in out]
+        streams = vpx_scan.finalize_streams(emit, byte, carry, nbytes)
 
     hdr = LeptonHeader()
-    hdr.version = 1
+    hdr.version = version
     hdr.mode = ord("Z") if dec.is_baseline else ord("X")
     hdr.num_threads = num_threads
     hdr.original_size = parsed.jpgfilesize

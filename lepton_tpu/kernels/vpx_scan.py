@@ -459,6 +459,21 @@ def _exact_div_f32(n, d):
     return q
 
 
+def _branch_update_adv(fc, tc, bit):
+    """Branch::adv_record_obs_and_update (branch.hh:66-80), the ANS
+    backend rule: increment, halve-other on overflow, probability from
+    the POST-update counts ORed with 1."""
+    obs = bit != 0
+    val = jnp.where(obs, tc, fc)
+    nfc = jnp.where(obs, fc, fc + 1)
+    ntc = jnp.where(obs, tc + 1, tc)
+    ovf = val == 0xFF
+    nfc = jnp.where(ovf, jnp.where(obs, (fc + 1) >> 1, 129), nfc)
+    ntc = jnp.where(ovf, jnp.where(obs, 129, (tc + 1) >> 1), ntc)
+    nprob = _exact_div_f32(nfc << 8, nfc + ntc) | 1
+    return nfc, ntc, nprob
+
+
 def _branch_update_arith(fc, tc, bit):
     """Branch::record_obs_and_update as pure vector arithmetic
     (branch.hh:82-100) -- no transition-LUT gather, which TPUs serialize,
@@ -488,12 +503,14 @@ def _branch_update_arith(fc, tc, bit):
     return nfc, ntc, nprob
 
 
-@partial(jax.jit, static_argnames=("window",))
+@partial(jax.jit, static_argnames=("window", "update"))
 def model_probs_sorted(idxs: jnp.ndarray, bits: jnp.ndarray,
-                       window: int = 32):
+                       window: int = 32, update: str = "vpx"):
     """Per-symbol coding probabilities via the sorted-branch model pass.
 
     idxs int32 [S, L] (PAD / FIXED_PROB / branch), bits uint8 [S, L].
+    update: "vpx" (record_obs_and_update) or "adv" (the ANS backend rule,
+    branch.hh:66-80: probability from post-update counts, ORed with 1).
     Returns probs int32 [S, L] in STREAM order: the adaptive probability
     each symbol is coded with (128 for FIXED_PROB/PAD slots).
     """
@@ -529,7 +546,10 @@ def model_probs_sorted(idxs: jnp.ndarray, bits: jnp.ndarray,
             tc = jnp.where(ns[k], 1, tc)
             prob = jnp.where(ns[k], 128, prob)
             probs.append(jnp.where(adaptive, prob, 128))
-            fc2, tc2, prob2 = _branch_update_arith(fc, tc, sb[k])
+            if update == "adv":
+                fc2, tc2, prob2 = _branch_update_adv(fc, tc, sb[k])
+            else:
+                fc2, tc2, prob2 = _branch_update_arith(fc, tc, sb[k])
             fc = jnp.where(adaptive, fc2, fc)
             tc = jnp.where(adaptive, tc2, tc)
             prob = jnp.where(adaptive, prob2, prob)
@@ -617,3 +637,190 @@ def encode_streams_twopass(idxs, bits, window: int = 32):
     encode_streams, no arena, no scatters, O(1) state per lane."""
     probs = model_probs_sorted(idxs, bits, window)
     return arith_pass(idxs, bits, probs, window)
+
+
+# ---------------------------------------------------------------------------
+# rANS (format v3) phase-B: the natively batchable backend
+#
+# With the sorted-branch model pass producing per-symbol probabilities,
+# rANS serialization is a pure register chain in REVERSE symbol order
+# (src/ans/rans64.hh + ans_bool_writer.hh:21-110): two interleaved 64-bit
+# states, one optional 32-bit word emitted per state per pair.  64-bit
+# arithmetic is decomposed into uint32 pairs (TPUs have no native int64),
+# with the 63-bit-by-8-bit divisions done in exact f32 pieces.
+# ---------------------------------------------------------------------------
+
+RANS64_L_HI = np.uint32(1 << 31)        # RANS64_L = 1 << 31 (hi=0 low=2^31)
+
+
+def _div64_small(hi, lo, f):
+    """divmod(hi<<32 | lo, f) for f in 1..256, hi < 2^31 (int32), lo
+    uint32.  Because each partial remainder is < f, the three sub-
+    quotients are each < 2^16: the result recomposes exactly with no
+    carries.  Returns (q_hi int32, q_lo uint32, rem int32)."""
+    qh = _exact_div_f32(hi, f)
+    rh = hi - qh * f                                  # < f <= 256
+    lh = (lo >> 16).astype(jnp.int32)
+    ll = (lo & 0xFFFF).astype(jnp.int32)
+    n1 = (rh << 16) | lh                              # < f * 2^16 < 2^24
+    q1 = _exact_div_f32(n1, f)                        # < 2^16
+    r1 = n1 - q1 * f
+    n2 = (r1 << 16) | ll                              # < 2^24
+    q2 = _exact_div_f32(n2, f)                        # < 2^16
+    rem = n2 - q2 * f
+    q_lo = ((q1.astype(jnp.uint32) << 16)
+            | q2.astype(jnp.uint32))
+    return qh, q_lo, rem
+
+
+def _enc_put64(hi, lo, start, freq, active):
+    """Rans64EncPut step on a (hi, lo) uint32-pair state (rans64.hh:
+    renormalize -- emit the low word -- while x >= ((L>>8)<<32)*freq,
+    then x' = (x//freq)<<8 + x%freq + start).  After renormalization
+    x < freq<<55, so q < 2^55 and every sub-term fits its word.
+    Returns (hi', lo', emit, word)."""
+    xm_hi = (freq << 23).astype(jnp.uint32)           # x_max >> 32
+    emit = active & (hi >= xm_hi)
+    word = lo
+    hi1 = jnp.where(emit, 0, hi)
+    lo1 = jnp.where(emit, hi, lo)
+    q_hi, q_lo, rem = _div64_small(hi1.astype(jnp.int32), lo1, freq)
+    lo_shift = q_lo << 8
+    addend = (rem + start).astype(jnp.uint32)
+    nlo = lo_shift + addend                           # may wrap: carry
+    carry = (nlo < lo_shift).astype(jnp.uint32)
+    nhi = ((q_hi.astype(jnp.uint32) << 8) | (q_lo >> 24)) + carry
+    hi2 = jnp.where(active, nhi, hi)
+    lo2 = jnp.where(active, nlo, lo)
+    return hi2, lo2, emit, word
+
+
+@partial(jax.jit, static_argnames=("window",))
+def ans_pass(probs: jnp.ndarray, bits: jnp.ndarray, nsyms: jnp.ndarray,
+             window: int = 16):
+    """rANS serialization pass (reverse order, ans_bool_writer.hh).
+
+    probs int32 [S, L] per-symbol coding probabilities (stream order),
+    bits uint8 [S, L], nsyms int32 [S] valid symbols per lane (trailing
+    slots are padding).  Returns (emit1, word1, emit2, word2) each
+    [NP, S] in scan order (pair NP-1 first ... pair 0 last, matching the
+    reverse walk) plus flush (s1_hi, s1_lo, s2_hi, s2_lo) [S].
+    Host assembly mirrors ANSWriter.finish word order.
+    """
+    S, L = probs.shape
+    # pair k: second = symbol 2k, first = symbol 2k+1 (sentinel (1,1)
+    # when the count is odd: ans_bool_writer buffers in this layout)
+    NPmax = (L + 1) // 2
+    npairs = (nsyms + 1) // 2
+    sec_b = bits[:, 0::2].astype(jnp.int32)
+    sec_p = probs[:, 0::2]
+    if L % 2 == 1:
+        fst_b = jnp.concatenate(
+            [bits[:, 1::2].astype(jnp.int32),
+             jnp.ones((S, 1), jnp.int32)], axis=1)
+        fst_p = jnp.concatenate(
+            [probs[:, 1::2], jnp.ones((S, 1), jnp.int32)], axis=1)
+    else:
+        fst_b = bits[:, 1::2].astype(jnp.int32)
+        fst_p = probs[:, 1::2]
+    # odd-count lanes: their last pair's first slot is the sentinel
+    pair_i = jnp.arange(NPmax)[None, :]
+    odd_last = (nsyms[:, None] % 2 == 1) & (pair_i == (npairs - 1)[:, None])
+    fst_b = jnp.where(odd_last, 1, fst_b)
+    fst_p = jnp.where(odd_last, 1, fst_p)
+
+    W = window
+    # reverse walk includes 4 leading nop pairs (k = npairs..npairs+3)
+    NP = NPmax + 4
+    padNP = (NP + W - 1) // W * W
+    ks = jnp.arange(padNP - 1, -1, -1)                # scan order
+
+    def gather_pair(k):
+        in_range = k < NPmax
+        kk = jnp.minimum(k, NPmax - 1)
+        return (jnp.where(in_range, fst_b[:, kk], 0),
+                jnp.where(in_range, fst_p[:, kk], 128),
+                jnp.where(in_range, sec_b[:, kk], 0),
+                jnp.where(in_range, sec_p[:, kk], 128))
+
+    def step(carry, k_w):
+        h1, l1, h2, l2 = carry
+        e1s, w1s, e2s, w2s = [], [], [], []
+        for t in range(W):
+            k = k_w[t]
+            fb, fp, sb, sp = gather_pair(k)
+            active = k < (npairs + 4)
+            is_nop = k >= npairs
+            fb = jnp.where(is_nop, 0, fb)
+            fp = jnp.where(is_nop, 128, fp)
+            sb = jnp.where(is_nop, 0, sb)
+            sp = jnp.where(is_nop, 128, sp)
+            f_start = jnp.where(fb != 0, fp, 0)
+            f_freq = jnp.where(fb != 0, 256 - fp, fp)
+            s_start = jnp.where(sb != 0, sp, 0)
+            s_freq = jnp.where(sb != 0, 256 - sp, sp)
+            h1, l1, e1, w1 = _enc_put64(h1, l1, f_start, f_freq, active)
+            h2, l2, e2, w2 = _enc_put64(h2, l2, s_start, s_freq, active)
+            e1s.append(e1)
+            w1s.append(w1)
+            e2s.append(e2)
+            w2s.append(w2)
+        return (h1, l1, h2, l2), (jnp.stack(e1s), jnp.stack(w1s),
+                                  jnp.stack(e2s), jnp.stack(w2s))
+
+    # RANS64_L = 1<<31: hi = 0, lo = 2^31
+    zero = jnp.zeros(S, jnp.uint32)
+    init = (zero, jnp.full(S, np.uint32(1 << 31), jnp.uint32),
+            zero, jnp.full(S, np.uint32(1 << 31), jnp.uint32))
+    steps = padNP // W
+    (h1, l1, h2, l2), ys = lax.scan(step, init, ks.reshape(steps, W))
+    e1, w1, e2, w2 = [y.reshape(padNP, S) for y in ys]
+    return (e1, w1, e2, w2), (h1, l1, h2, l2), int(padNP)
+
+
+def finalize_ans_streams(ys, flush, padNP, npairs):
+    """Host assembly mirroring ANSWriter.finish: words were appended
+    during the reverse walk (s1's word before s2's per pair), then the
+    final states flush as s1_hi, s1_lo, s2_hi, s2_lo; output is the
+    reversed word list as little-endian bytes."""
+    e1, w1, e2, w2 = [np.asarray(y) for y in ys]
+    h1, l1, h2, l2 = [np.asarray(f) for f in flush]
+    out = []
+    S = e1.shape[1]
+    for s in range(S):
+        words = []
+        for t in range(padNP):
+            if e1[t, s]:
+                words.append(int(w1[t, s]))
+            if e2[t, s]:
+                words.append(int(w2[t, s]))
+        words.append(int(h1[s]))
+        words.append(int(l1[s]))
+        words.append(int(h2[s]))
+        words.append(int(l2[s]))
+        b = bytearray()
+        for w in reversed(words):
+            b += int(w).to_bytes(4, "little")
+        out.append(bytes(b))
+    return out
+
+
+def encode_streams_ans(segments, window: int = 16):
+    """Full on-device v3 encode of per-segment (branch, bit) streams:
+    sorted-branch model pass with the adv update rule, then the reverse
+    rANS register chain.  Returns list of per-segment v3 stream bytes,
+    bit-exact with coder.ans.ANSWriter."""
+    S = len(segments)
+    L = max(1, max(len(i) for i, _ in segments))
+    idxs = np.full((S, L), PAD, dtype=np.int32)
+    bits = np.zeros((S, L), dtype=np.uint8)
+    nsyms = np.zeros(S, dtype=np.int32)
+    for s, (i, b) in enumerate(segments):
+        idxs[s, :len(i)] = i
+        bits[s, :len(b)] = b
+        nsyms[s] = len(i)
+    ij = jnp.asarray(idxs)
+    bj = jnp.asarray(bits)
+    probs = model_probs_sorted(ij, bj, 32, update="adv")
+    ys, flush, padNP = ans_pass(probs, bj, jnp.asarray(nsyms), window)
+    return finalize_ans_streams(ys, flush, padNP, (nsyms + 1) // 2)

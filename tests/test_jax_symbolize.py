@@ -79,3 +79,32 @@ def test_compress_tpu_jax_truncated_roundtrip():
     lep = compress_tpu(data, num_segments=2)
     assert decompress(lep) == data
     assert lep == compress_tpu(data, num_segments=2, symbolizer="native")
+
+
+def test_compress_tpu_v3_rans():
+    """TPU rANS (v3) path: on-device adv-model pass + reverse rANS chain
+    must match the host ANS encoder byte-for-byte and roundtrip."""
+    data = open(os.path.join(IMAGES, "nofsync.jpg"), "rb").read()
+    v3 = compress_tpu(data, num_segments=2, version=3)
+    assert v3 == compress(data, version=3)
+    assert decompress(v3) == data
+
+
+def test_tpu_rans_reference_interop(ref_binary_ans=None):
+    """The TPU-produced v3 container decodes in the ANS reference build
+    (bidirectional interop gate, reference jpgcoder.cc:1121-1127)."""
+    import subprocess
+    binpath = "/tmp/refbuild-ans/lepton"
+    if not os.path.exists(binpath):
+        pytest.skip("ANS reference build unavailable")
+    data = open(os.path.join(IMAGES, "androidcrop.jpg"), "rb").read()
+    lep = compress_tpu(data, num_segments=4, version=3)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        lp = os.path.join(d, "x.lep")
+        jp = os.path.join(d, "x.jpg")
+        open(lp, "wb").write(lep)
+        r = subprocess.run([binpath, "-unjailed", lp, jp],
+                           capture_output=True, timeout=300)
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        assert open(jp, "rb").read() == data

@@ -121,3 +121,28 @@ def test_exact_div_f32_branch_domain():
     q = np.asarray(V._exact_div_f32(jnp.asarray(c << 8, jnp.int32),
                                     jnp.asarray(d, jnp.int32)))
     assert np.array_equal(q, (c << 8) // d)
+
+
+def test_ans_pass_matches_scalar_writer():
+    """On-device rANS (adv model pass + reverse 64-bit register chain in
+    uint32 pieces) == coder.ans.ANSWriter byte-for-byte, odd and even
+    symbol counts, overflow-heavy branch reuse."""
+    from lepton_tpu.coder.ans import ANSWriter
+    from lepton_tpu.codec.blocks import Coder
+    from lepton_tpu.model.tables import Model
+    import numpy as np
+    rng = np.random.default_rng(6)
+    segs, want = [], []
+    for s in range(4):
+        n = 300 + 111 * s + (s % 2)
+        idx = rng.integers(0, 30, n).astype(np.int32)
+        idx[rng.random(n) < 0.25] = rng.integers(0, ARENA_SIZE)
+        bit = rng.integers(0, 2, n).astype(np.uint8)
+        segs.append((idx, bit))
+        w = ANSWriter()
+        coder = Coder(arena=Model().raw, writer=w, ans=True)
+        for i, b in zip(idx, bit):
+            coder.put(int(b), int(i))
+        want.append(w.finish())
+    got = V.encode_streams_ans(segs)
+    assert got == want
