@@ -59,3 +59,60 @@ def test_pallas_coder_carry_chain():
         [(np.asarray(idx, np.int32), np.asarray(bit, np.uint8))])
     out, nb = pallas_coder.encode_streams_pallas(idxs, bits, interpret=True)
     assert pallas_coder.finalize(out, nb)[0] == ref
+
+
+def test_pallas_coder_on_device():
+    """When a real TPU is attached, the Mosaic-compiled kernel (not the
+    interpreter) must stay bit-exact -- interpret-only CI would let
+    Mosaic regressions through (r1 review finding)."""
+    import os
+    if True:
+        # the suite itself runs on forced CPU (conftest); probe the real
+        # backend in a clean subprocess so this gate runs exactly when
+        # hardware is present
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=300,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("JAX_PLATFORMS",)})
+        if probe.returncode != 0 or "tpu" not in probe.stdout:
+            pytest.skip("no TPU attached")
+        r = subprocess.run(
+            [sys.executable, "-c", f"""
+import sys
+sys.path.insert(0, {repo!r})
+import random
+import numpy as np
+from lepton_tpu.coder.vpx import BoolWriter
+from lepton_tpu.kernels import pallas_coder, vpx_scan
+from lepton_tpu.model.branch import update_branch
+from lepton_tpu.model.tables import ARENA_SIZE
+rng = random.Random(9)
+n = 600
+idx = [rng.randrange(ARENA_SIZE) for _ in range(n)]
+for k in range(1, n):
+    if rng.random() < 0.7:
+        idx[k] = idx[rng.randrange(k)]
+bit = [rng.randrange(2) for _ in range(n)]
+state = {{}}
+w = BoolWriter()
+for i, b in zip(idx, bit):
+    fc, tc, prob = state.get(i, (1, 1, 128))
+    w.put_bit(int(b), prob)
+    state[i] = update_branch(fc, tc, prob, bool(b))
+ref = w.finish()
+idxs, bits = vpx_scan.build_symbol_streams(
+    [(np.asarray(idx, np.int32), np.asarray(bit, np.uint8))])
+out, nb = pallas_coder.encode_streams_pallas(idxs, bits, interpret=False)
+assert pallas_coder.finalize(out, nb)[0] == ref, 'mosaic mismatch'
+print('PALLAS-DEVICE-OK')
+"""],
+            capture_output=True, text=True, timeout=560,
+            env={k: v for k, v in os.environ.items()
+                 if k not in ("JAX_PLATFORMS",)})
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "PALLAS-DEVICE-OK" in r.stdout
