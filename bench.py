@@ -316,29 +316,45 @@ def bench_tpu_phase_b():
 
 
 def bench_tpu_decode():
-    """Lane-parallel TPU token decoder (kernels/vpx_decode): decode a
-    4-segment container on-device, verify bit-exactness, report block
-    throughput (second call: compile excluded)."""
-    try:
-        import jax
-        from lepton_tpu.api import compress, decompress_tpu, decompress
+    """Lane-parallel token decoder (kernels/vpx_decode): decode a
+    4-segment container with the JAX kernel, verify bit-exactness,
+    report block throughput (second call: compile excluded).
 
-        path = os.path.join(IMAGES_DIR, "androidcrop.jpg")
-        data = open(path, "rb").read()
-        lep = compress(data, min_threads=4)
-        out = decompress_tpu(lep)           # compile + correctness gate
-        assert out == data
-        t0 = time.perf_counter()
-        out = decompress_tpu(lep)
-        dt = time.perf_counter() - t0
-        nblocks = (126 * 86 + 2 * 63 * 43)
-        return dict(
-            backend=jax.devices()[0].platform,
-            segments=4,
-            blocks=nblocks,
-            decode_kblocks_per_s=round(nblocks / dt / 1e3, 2),
-            bit_exact=True,
-        )
+    Runs on the CPU backend in a subprocess: the packed-state scan is
+    correct and fast under XLA:CPU (and on the virtual mesh), but
+    XLA:TPU currently compiles it O(steps) and serializes its per-read
+    scatters -- the real-chip decode path is the documented open item
+    (NEXT_STEPS.md), and crashing the shared TPU worker from the bench
+    would poison the other submetrics."""
+    try:
+        import subprocess
+        import sys as _sys
+        import json as _json
+        code = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from lepton_tpu.api import compress, decompress_tpu
+data = open(%(path)r, "rb").read()
+lep = compress(data, min_threads=4)
+out = decompress_tpu(lep)
+assert out == data
+t0 = time.perf_counter()
+out = decompress_tpu(lep)
+dt = time.perf_counter() - t0
+nblocks = 126 * 86 + 2 * 63 * 43
+print(json.dumps(dict(backend="cpu (see NEXT_STEPS: XLA:TPU lowering)",
+                      segments=4, blocks=nblocks,
+                      decode_kblocks_per_s=round(nblocks / dt / 1e3, 2),
+                      bit_exact=True)))
+""" % dict(repo=os.path.dirname(os.path.abspath(__file__)),
+           path=os.path.join(IMAGES_DIR, "androidcrop.jpg"))
+        r = subprocess.run([_sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=900)
+        if r.returncode != 0:
+            return dict(error=r.stderr[-200:])
+        return _json.loads(r.stdout.strip().splitlines()[-1])
     except Exception as e:
         return dict(error=repr(e)[:200])
 
