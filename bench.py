@@ -315,6 +315,38 @@ def bench_tpu_phase_b():
         return dict(error=repr(e)[:200])
 
 
+def bench_tpu_e2e_encode():
+    """Full on-device encode (api.compress_tpu): host JPEG parse, then
+    symbolization + stream assembly + two-pass coding on the chip (only
+    row counts and the compacted coder output cross the link).  Warm
+    number excludes per-geometry compilation."""
+    try:
+        import jax
+        from lepton_tpu.api import compress_tpu, compress, decompress
+
+        path = os.path.join(IMAGES_DIR, "androidcrop.jpg")
+        data = open(path, "rb").read()
+        t0 = time.perf_counter()
+        lep = compress_tpu(data, num_segments=8)
+        cold = time.perf_counter() - t0
+        assert decompress(lep) == data
+        best = 1e18
+        for _ in range(2):
+            t0 = time.perf_counter()
+            lep = compress_tpu(data, num_segments=8)
+            best = min(best, time.perf_counter() - t0)
+        return dict(
+            backend=jax.devices()[0].platform,
+            image="androidcrop.jpg",
+            cold_s=round(cold, 1),
+            warm_s=round(best, 2),
+            encode_mbps=round(len(data) / 1e6 / best, 3),
+            bit_exact=True,
+        )
+    except Exception as e:
+        return dict(error=repr(e)[:200])
+
+
 def bench_tpu_decode():
     """Lane-parallel token decoder (kernels/vpx_decode): decode a
     4-segment container with the JAX kernel, verify bit-exactness,
@@ -366,6 +398,7 @@ def main():
     ans = bench_ans_v3()
     tpu = bench_tpu_phase_a()
     tpu_b = bench_tpu_phase_b()
+    tpu_e = bench_tpu_e2e_encode()
     tpu_d = bench_tpu_decode()
     value = host["roundtrip_mbps"]
     baseline = ref_live if ref_live else REFERENCE_ROUNDTRIP_MBPS
@@ -382,6 +415,7 @@ def main():
         "ans_v3": ans,
         "tpu_phase_a": tpu,
         "tpu_phase_b": tpu_b,
+        "tpu_e2e_encode": tpu_e,
         "tpu_decode": tpu_d,
     }
     print(json.dumps(result))

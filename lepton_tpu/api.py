@@ -686,7 +686,19 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
     max_heights, comp_sizes = _truncation_geometry(info, dec)
     _apply_model_env()
 
-    if symbolizer == "jax":
+    if symbolizer == "jax" and version != 3:
+        # fully on-device: symbolize + stream assembly + phase-B; only
+        # row counts and the compacted coder output cross the tunnel
+        from .kernels.encode_pipeline import symbolize_image_device
+        from .model.context import ColorTables
+        colors = [ColorTables(info.qtables[info.cmpnfo[c].qtable_index])
+                  for c in range(info.cmpc)]
+        streams = symbolize_image_device(
+            list(dec.planes), colors, info.mcuv, max_heights, comp_sizes,
+            [th.luma_y_start for th in splits],
+            color_index=(lambda c: 0 if c == 0 else 1), window=window)
+        segs = None
+    elif symbolizer == "jax":
         from .kernels.encode_pipeline import symbolize_image
         from .model.context import ColorTables
         colors = [ColorTables(info.qtables[info.cmpnfo[c].qtable_index])
@@ -708,10 +720,10 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
             segs.append(_native.native_symbolize_segment(
                 native, th.luma_y_start, end_y, is_last))
 
-    if version == 3:
+    if segs is not None and version == 3:
         # rANS framing has no marker/stop bits: raw per-segment streams
         streams = vpx_scan.encode_streams_ans(segs, window=window)
-    else:
+    elif segs is not None:
         idxs, bits = vpx_scan.build_symbol_streams(segs)
         out = vpx_scan.encode_streams_twopass(jax.device_put(idxs),
                                               jax.device_put(bits),

@@ -132,8 +132,9 @@ def main(argv=None) -> int:
         elif arg == "-unjailed":
             opts["unjailed"] = True
         elif arg in ("-preload", "-decode", "-encode", "-recode",
-                     "-unkillable", "-hugepages", "-verbose"):
-            pass  # accepted for compatibility
+                     "-unkillable", "-hugepages", "-verbose",
+                     "-avx2upgrade"):
+            pass  # accepted for compatibility (jpgcoder.cc ignores these)
         elif arg.startswith("-listenbacklog=") or \
                 arg.startswith("-benchreps=") or \
                 arg.startswith("-benchthreads="):

@@ -126,3 +126,172 @@ def symbolize_image(planes: Sequence[np.ndarray], color_tables,
         else:
             segments.append((np.zeros(0, np.int32), np.zeros(0, np.uint8)))
     return segments, plans
+
+
+# ---------------------------------------------------------------------------
+# Device-side stream assembly: symbols never leave the chip.
+#
+# The padded symbolization slabs are ~450x the real symbol count; pulling
+# them to the host costs minutes over a tunnel (measured 166s of a 230s
+# slrhills encode).  Instead: compact each plane's slots on-device, then
+# build the [S, Lmax] per-segment streams with a run-offset cumsum + one
+# flat gather (the row_spec interleave is a permutation of contiguous row
+# runs), add the marker/stop framing from a constant tail region, and
+# feed phase-B directly.  The only device->host traffic is per-row counts
+# (KBs) and the final compacted coder output (~the .lep payload size).
+# ---------------------------------------------------------------------------
+
+
+def _bucket(n: int, q: int = 1 << 18) -> int:
+    return (n + q - 1) // q * q
+
+
+def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
+                           component_sizes, splits_y, color_index=None,
+                           window: int = 32):
+    """Whole-image on-device encode: symbolize + assemble + phase-B.
+
+    Returns (streams list of bytes per segment) ready for mux_streams --
+    the VPX v1/v2 path with marker/stop framing applied on-device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .symbolize import symbolize_slice
+    from . import vpx_scan
+    from .vpx_scan import FIXED_PROB, PAD
+
+    ncomp = len(planes)
+    heights = [p.shape[0] for p in planes]
+    widths = [p.shape[1] for p in planes]
+    plans = plan_rows(heights, mcuv, max_coded_heights, splits_y)
+    tops = segment_top_rows(plans, ncomp)
+    S = len(plans)
+
+    # 1. symbolize + per-plane compaction, all on device
+    packed_parts = []
+    row_offsets = []          # per comp: host offsets of each row's run
+    base = 0
+    for c in range(ncomp):
+        ct = color_tables[c]
+        ci = (0 if c == 0 else 1) if color_index is None else color_index(c)
+        H = heights[c]
+        rha = np.ones(H, dtype=bool)
+        rha[0] = False
+        for y in tops[c]:
+            rha[y] = False
+        idx, bit = symbolize_slice(
+            jnp.asarray(planes[c]), ci,
+            jnp.asarray(ct.quant, dtype=jnp.int32),
+            tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_x),
+            tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_y),
+            tuple(int(v) for v in ct.min_noise_threshold),
+            jnp.int32(0), jnp.int32(component_sizes[c]),
+            jnp.asarray(rha))
+        from .symbolize import row_symbol_counts, compact_symbols
+        counts = np.asarray(row_symbol_counts(idx))        # [H], tiny
+        total = int(counts.sum())
+        pi, pb, _ = compact_symbols(idx.reshape(-1), bit.reshape(-1),
+                                    _bucket(max(total, 1)))
+        packed_parts.append((pi, pb, total))
+        offs = np.zeros(H + 1, np.int64)
+        offs[1:] = np.cumsum(counts)
+        row_offsets.append(base + offs)
+        base += _bucket(max(total, 1))
+
+    # constant framing tail: 33 FIXED_PROB zero-bit slots (marker + stop)
+    frame_idx = jnp.full((64,), FIXED_PROB, jnp.int32)
+    frame_bit = jnp.zeros((64,), jnp.uint8)
+    packed_idx = jnp.concatenate([p for p, _, _ in packed_parts]
+                                 + [frame_idx])
+    packed_bit = jnp.concatenate([b for _, b, _ in packed_parts]
+                                 + [frame_bit])
+    frame_base = base
+
+    # 2. host: run plan per segment (marker, rows in row_spec order, stop)
+    seg_runs = []
+    seg_total = np.zeros(S, np.int64)
+    for s, plan in enumerate(plans):
+        runs = [(0, frame_base, 1)]                        # marker bit
+        dst = 1
+        for comp, y in plan:
+            src0 = int(row_offsets[comp][y])
+            ln = int(row_offsets[comp][y + 1] - row_offsets[comp][y])
+            if ln:
+                runs.append((dst, src0, ln))
+                dst += ln
+        runs.append((dst, frame_base, 32))                 # stop bits
+        dst += 32
+        seg_runs.append(runs)
+        seg_total[s] = dst
+    Lmax = _bucket(int(seg_total.max()), 1 << 14)
+    Rmax = max(len(r) for r in seg_runs)
+    run_dst = np.zeros((S, Rmax), np.int64)
+    run_off = np.zeros((S, Rmax), np.int64)
+    run_valid = np.zeros((S, Rmax), bool)
+    for s, runs in enumerate(seg_runs):
+        for r, (dst0, src0, ln) in enumerate(runs):
+            run_dst[s, r] = dst0
+            run_off[s, r] = src0 - dst0
+            run_valid[s, r] = True
+
+    # 3. device: run-offset scatter + cumsum + flat gather -> [S, Lmax]
+    @jax.jit
+    def assemble(packed_idx, packed_bit, run_dst, run_off, run_valid,
+                 seg_total):
+        Svec = jnp.arange(S)
+        deltas = jnp.zeros((S, Lmax), jnp.int32)
+        prev = jnp.concatenate(
+            [jnp.zeros((S, 1), jnp.int32), run_off[:, :-1]], axis=1)
+        dvals = jnp.where(run_valid, run_off - prev, 0)
+        deltas = deltas.at[Svec[:, None], run_dst].add(dvals)
+        offs = jnp.cumsum(deltas, axis=1)
+        src = jnp.arange(Lmax, dtype=jnp.int32)[None, :] + offs
+        live = jnp.arange(Lmax)[None, :] < seg_total[:, None]
+        src = jnp.clip(src, 0, packed_idx.shape[0] - 1)
+        oi = jnp.where(live, packed_idx[src], PAD)
+        ob = jnp.where(live, packed_bit[src], 0)
+        return oi, ob
+
+    oi, ob = assemble(packed_idx, packed_bit,
+                      jnp.asarray(run_dst.astype(np.int32)),
+                      jnp.asarray(run_off.astype(np.int32)),
+                      jnp.asarray(run_valid), jnp.asarray(seg_total))
+
+    # 4. phase-B on device, then per-lane output compaction via the sort
+    # trick (emitted bytes first, in order) -- scatters stay off the TPU
+    emit, byte, carry, nbytes = vpx_scan.encode_streams_twopass(
+        oi, ob, window=window)
+
+    @jax.jit
+    def compact_out(emit, byte, carry):
+        L = emit.shape[0]
+        key = jnp.where(emit, 0, 1).astype(jnp.int32) * (1 << 24) \
+            + jnp.arange(L, dtype=jnp.int32)[:, None]
+        import jax.lax as lax
+        k2, b2, c2 = lax.sort(
+            (key.T, byte.T.astype(jnp.int32), carry.T.astype(jnp.int32)),
+            dimension=1, is_stable=False, num_keys=1)
+        return b2, c2
+
+    maxb = Lmax // 4 + 64
+    b2, c2 = compact_out(emit, byte, carry)
+    nb = np.asarray(nbytes)
+    bh = np.asarray(b2[:, :int(nb.max()) + 1])
+    ch = np.asarray(c2[:, :int(nb.max()) + 1])
+
+    streams = []
+    for s in range(S):
+        n = int(nb[s])
+        bs = bytearray(bh[s, :n].astype(np.uint8).tobytes())
+        for i in np.nonzero(ch[s, :n])[0]:
+            j = int(i) - 1
+            while j >= 0 and bs[j] == 0xFF:
+                bs[j] = 0
+                j -= 1
+            assert j >= 0, "carry out of stream start"
+            bs[j] += 1
+        if len(bs) and (bs[-1] & 0xE0) == 0xC0:
+            bs.append(0)
+        streams.append(bytes(bs))
+    return streams
