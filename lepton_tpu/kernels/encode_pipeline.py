@@ -146,6 +146,67 @@ def _bucket(n: int, q: int = 1 << 18) -> int:
     return (n + q - 1) // q * q
 
 
+def _assemble_jit():
+    """Module-level jit for the stream assembly (a nested @jax.jit closure
+    would be a fresh function object per call and recompile every time)."""
+    global _ASSEMBLE
+    if _ASSEMBLE is None:
+        import jax
+        import jax.numpy as jnp
+        from .vpx_scan import PAD
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("Lmax",))
+        def assemble(packed_idx, packed_bit, run_dst, run_off, run_valid,
+                     seg_total, Lmax):
+            S = run_dst.shape[0]
+            Svec = jnp.arange(S)
+            deltas = jnp.zeros((S, Lmax), jnp.int32)
+            prev = jnp.concatenate(
+                [jnp.zeros((S, 1), jnp.int32), run_off[:, :-1]], axis=1)
+            dvals = jnp.where(run_valid, run_off - prev, 0)
+            deltas = deltas.at[Svec[:, None], run_dst].add(dvals)
+            offs = jnp.cumsum(deltas, axis=1)
+            src = jnp.arange(Lmax, dtype=jnp.int32)[None, :] + offs
+            live = jnp.arange(Lmax)[None, :] < seg_total[:, None]
+            src = jnp.clip(src, 0, packed_idx.shape[0] - 1)
+            oi = jnp.where(live, packed_idx[src], PAD)
+            ob = jnp.where(live, packed_bit[src], 0)
+            return oi, ob
+
+        _ASSEMBLE = assemble
+    return _ASSEMBLE
+
+
+_ASSEMBLE = None
+
+
+def _compact_out_jit():
+    global _COMPACT_OUT
+    if _COMPACT_OUT is None:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        @jax.jit
+        def compact_out(emit, byte, carry):
+            L = emit.shape[0]
+            key = jnp.where(emit, 0, 1).astype(jnp.int32) * (1 << 24) \
+                + jnp.arange(L, dtype=jnp.int32)[:, None]
+            k2, b2, c2 = lax.sort(
+                (key.T, byte.T.astype(jnp.int32),
+                 carry.T.astype(jnp.int32)),
+                dimension=1, is_stable=False, num_keys=1)
+            return b2, c2
+
+        _COMPACT_OUT = compact_out
+    return _COMPACT_OUT
+
+
+_COMPACT_OUT = None
+
+
 def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
                            component_sizes, splits_y, color_index=None,
                            window: int = 32):
@@ -154,12 +215,24 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
     Returns (streams list of bytes per segment) ready for mux_streams --
     the VPX v1/v2 path with marker/stop framing applied on-device.
     """
+    import os
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
     from .symbolize import symbolize_slice
     from . import vpx_scan
     from .vpx_scan import FIXED_PROB, PAD
+
+    prof = os.environ.get("LEPTON_TPU_PROFILE") == "1"
+    _t = [_time.time()]
+
+    def mark(label):
+        if prof:
+            now = _time.time()
+            print(f"  [tpu-encode] {label}: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
 
     ncomp = len(planes)
     heights = [p.shape[0] for p in planes]
@@ -198,6 +271,7 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
         offs[1:] = np.cumsum(counts)
         row_offsets.append(base + offs)
         base += _bucket(max(total, 1))
+        mark(f"symbolize+compact comp{c}")
 
     # constant framing tail: 33 FIXED_PROB zero-bit slots (marker + stop)
     frame_idx = jnp.full((64,), FIXED_PROB, jnp.int32)
@@ -236,49 +310,32 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
             run_valid[s, r] = True
 
     # 3. device: run-offset scatter + cumsum + flat gather -> [S, Lmax]
-    @jax.jit
-    def assemble(packed_idx, packed_bit, run_dst, run_off, run_valid,
-                 seg_total):
-        Svec = jnp.arange(S)
-        deltas = jnp.zeros((S, Lmax), jnp.int32)
-        prev = jnp.concatenate(
-            [jnp.zeros((S, 1), jnp.int32), run_off[:, :-1]], axis=1)
-        dvals = jnp.where(run_valid, run_off - prev, 0)
-        deltas = deltas.at[Svec[:, None], run_dst].add(dvals)
-        offs = jnp.cumsum(deltas, axis=1)
-        src = jnp.arange(Lmax, dtype=jnp.int32)[None, :] + offs
-        live = jnp.arange(Lmax)[None, :] < seg_total[:, None]
-        src = jnp.clip(src, 0, packed_idx.shape[0] - 1)
-        oi = jnp.where(live, packed_idx[src], PAD)
-        ob = jnp.where(live, packed_bit[src], 0)
-        return oi, ob
-
-    oi, ob = assemble(packed_idx, packed_bit,
-                      jnp.asarray(run_dst.astype(np.int32)),
-                      jnp.asarray(run_off.astype(np.int32)),
-                      jnp.asarray(run_valid), jnp.asarray(seg_total))
+    oi, ob = _assemble_jit()(packed_idx, packed_bit,
+                             jnp.asarray(run_dst.astype(np.int32)),
+                             jnp.asarray(run_off.astype(np.int32)),
+                             jnp.asarray(run_valid),
+                             jnp.asarray(seg_total), Lmax)
+    if prof:
+        jax.block_until_ready((oi, ob))
+    mark("assemble")
 
     # 4. phase-B on device, then per-lane output compaction via the sort
     # trick (emitted bytes first, in order) -- scatters stay off the TPU
     emit, byte, carry, nbytes = vpx_scan.encode_streams_twopass(
         oi, ob, window=window)
+    if prof:
+        jax.block_until_ready(nbytes)
+    mark("phase-B")
 
-    @jax.jit
-    def compact_out(emit, byte, carry):
-        L = emit.shape[0]
-        key = jnp.where(emit, 0, 1).astype(jnp.int32) * (1 << 24) \
-            + jnp.arange(L, dtype=jnp.int32)[:, None]
-        import jax.lax as lax
-        k2, b2, c2 = lax.sort(
-            (key.T, byte.T.astype(jnp.int32), carry.T.astype(jnp.int32)),
-            dimension=1, is_stable=False, num_keys=1)
-        return b2, c2
-
-    maxb = Lmax // 4 + 64
-    b2, c2 = compact_out(emit, byte, carry)
+    b2, c2 = _compact_out_jit()(emit, byte, carry)
+    if prof:
+        jax.block_until_ready((b2, c2))
+    mark("compact-out")
     nb = np.asarray(nbytes)
-    bh = np.asarray(b2[:, :int(nb.max()) + 1])
-    ch = np.asarray(c2[:, :int(nb.max()) + 1])
+    maxb = _bucket(int(nb.max()) + 1, 1 << 12)
+    bh = np.asarray(b2[:, :maxb])
+    ch = np.asarray(c2[:, :maxb])
+    mark("output transfer")
 
     streams = []
     for s in range(S):
