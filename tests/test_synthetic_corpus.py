@@ -328,3 +328,16 @@ def test_progressive_q100_quirk_parity():
                             timeout=300)
         assert r1.returncode == 0
         assert lep == open("/tmp/_prog_quirk.lep", "rb").read()
+
+
+def test_cmyk_tpu_paths():
+    """4-component JPEGs through the TPU pipelines: on-device
+    symbolization + two-pass coder (compress_tpu) and the lane-parallel
+    decoder (decompress_tpu), byte-identical to the host encoder."""
+    from lepton_tpu.api import (compress, compress_tpu, decompress,
+                                decompress_tpu)
+    data = _cmyk_jpeg()
+    lep = compress_tpu(data, num_segments=2, allow_four_colors=True)
+    assert lep == compress(data, allow_four_colors=True)
+    assert decompress(lep) == data
+    assert decompress_tpu(lep) == data
