@@ -3,6 +3,9 @@ import sys
 
 # TPU sharding tests run on a virtual 8-device CPU mesh; set before jax import.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the persistent compile cache targets the TPU tunnel; under the forced-CPU
+# suite its CPU-AOT reloads warn about host-feature mismatches -- skip it
+os.environ.setdefault("LEPTON_TPU_JAX_CACHE", "0")
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")

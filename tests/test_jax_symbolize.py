@@ -108,3 +108,16 @@ def test_tpu_rans_reference_interop(ref_binary_ans=None):
                            capture_output=True, timeout=300)
         assert r.returncode == 0, r.stderr.decode()[-500:]
         assert open(jp, "rb").read() == data
+
+
+@pytest.mark.parametrize("name", ["trailingrst.jpg", "gray2sf.jpg",
+                                  "singlerowtrunc.jpg"])
+def test_tpu_paths_edge_corpus(name):
+    """Edge-case corpus through both TPU pipelines: RST-heavy, 2-sampling
+    grayscale, mid-row truncation -- byte-identical encode + TPU decode."""
+    from lepton_tpu.api import decompress_tpu
+    data = open(os.path.join(IMAGES, name), "rb").read()
+    lep = compress_tpu(data, num_segments=4)
+    assert lep == compress_tpu(data, num_segments=4, symbolizer="native")
+    assert decompress(lep) == data
+    assert decompress_tpu(lep) == data
