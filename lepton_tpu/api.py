@@ -749,3 +749,62 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
         hdr.max_sah = dec.max_sah
         hdr.max_dpos = dec.max_dpos
     return write_container(hdr, mux_streams(streams, hdr.version))
+
+
+def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
+                       window: int = 32) -> list:
+    """Batch-encode many JPEGs on one chip: every image's segments become
+    coder lanes in a single phase-B invocation (lanes carry O(1) state in
+    the two-pass design, so batch size is free parallelism).  This is the
+    TPU serving-throughput design point: per-image latency is bounded by
+    a handful of kernel dispatches regardless of batch size.
+
+    Returns a list of .lep containers, each byte-identical to
+    compress_tpu on the same input.
+    """
+    from .kernels.encode_pipeline import encode_images_device
+    from .model.context import ColorTables
+
+    descs = []
+    metas = []
+    for data in jpeg_blobs:
+        parsed = parse_jpeg(data)
+        info = image_info_from_header(parsed.hdrdata)
+        dec = decode_scans(parsed, info)
+        num_threads = choose_num_threads(
+            len(dec.handoffs),
+            dec.handoffs[-1].segment_size - dec.handoffs[0].segment_size,
+            num_segments, 1)
+        splits = select_splits(dec.handoffs, num_threads, False)
+        mh, cs = _truncation_geometry(info, dec)
+        colors = [ColorTables(info.qtables[info.cmpnfo[c].qtable_index])
+                  for c in range(info.cmpc)]
+        descs.append(dict(
+            planes=list(dec.planes), color_tables=colors, mcuv=info.mcuv,
+            max_coded_heights=mh, component_sizes=cs,
+            splits_y=[th.luma_y_start for th in splits],
+            color_index=(lambda c: 0 if c == 0 else 1)))
+        metas.append((parsed, dec, splits, num_threads))
+    _apply_model_env()
+    all_streams = encode_images_device(descs, window=window)
+
+    out = []
+    for (parsed, dec, splits, num_threads), streams in zip(metas,
+                                                           all_streams):
+        hdr = LeptonHeader()
+        hdr.version = 1
+        hdr.mode = ord("Z") if dec.is_baseline else ord("X")
+        hdr.num_threads = num_threads
+        hdr.original_size = parsed.jpgfilesize
+        hdr.hdrdata = parsed.hdrdata
+        hdr.padbit = dec.padbit
+        hdr.handoffs = splits
+        hdr.rst_cnt = parsed.rst_cnt
+        hdr.rst_err = parsed.rst_err
+        hdr.garbage = parsed.garbage if parsed.garbage else b"\xff\xd9"
+        hdr.early_eof = dec.early_eof
+        if dec.early_eof:
+            hdr.max_cmp, hdr.max_bpos = dec.max_cmp, dec.max_bpos
+            hdr.max_sah, hdr.max_dpos = dec.max_sah, dec.max_dpos
+        out.append(write_container(hdr, mux_streams(streams, hdr.version)))
+    return out

@@ -352,3 +352,134 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
             bs.append(0)
         streams.append(bytes(bs))
     return streams
+
+
+def encode_images_device(images, window: int = 32):
+    """Batch encode MANY images on one chip: lanes = sum of all images'
+    segments (lanes carry O(1) state in the two-pass coder, so batch
+    size is free parallelism -- the serving-throughput design point).
+
+    images: list of dicts with keys planes, color_tables, mcuv,
+    max_coded_heights, component_sizes, splits_y, color_index(optional).
+    Same-geometry images share every jit compilation (quant tables are
+    traced; icos/min-noise tables recompile only per distinct qtable).
+    Returns list (per image) of per-segment stream bytes.
+    """
+    import os
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .symbolize import compact_symbols, row_symbol_counts, \
+        symbolize_slice
+    from . import vpx_scan
+    from .vpx_scan import FIXED_PROB, PAD
+
+    packed_parts = []
+    img_plans = []
+    img_rowoffs = []
+    base = 0
+    for im in images:
+        planes = im["planes"]
+        color_tables = im["color_tables"]
+        ncomp = len(planes)
+        heights = [p.shape[0] for p in planes]
+        plans = plan_rows(heights, im["mcuv"], im["max_coded_heights"],
+                          im["splits_y"])
+        tops = segment_top_rows(plans, ncomp)
+        img_plans.append(plans)
+        rowoffs = []
+        for c in range(ncomp):
+            ct = color_tables[c]
+            cix = im.get("color_index")
+            ci = (0 if c == 0 else 1) if cix is None else cix(c)
+            H = heights[c]
+            rha = np.ones(H, dtype=bool)
+            rha[0] = False
+            for y in tops[c]:
+                rha[y] = False
+            idx, bit = symbolize_slice(
+                jnp.asarray(planes[c]), ci,
+                jnp.asarray(ct.quant, dtype=jnp.int32),
+                tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_x),
+                tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_y),
+                tuple(int(v) for v in ct.min_noise_threshold),
+                jnp.int32(0), jnp.int32(im["component_sizes"][c]),
+                jnp.asarray(rha))
+            counts = np.asarray(row_symbol_counts(idx))
+            total = int(counts.sum())
+            pi, pb, _ = compact_symbols(idx.reshape(-1), bit.reshape(-1),
+                                        _bucket(max(total, 1)))
+            packed_parts.append((pi, pb))
+            offs = np.zeros(H + 1, np.int64)
+            offs[1:] = np.cumsum(counts)
+            rowoffs.append(base + offs)
+            base += _bucket(max(total, 1))
+        img_rowoffs.append(rowoffs)
+
+    frame_idx = jnp.full((64,), FIXED_PROB, jnp.int32)
+    frame_bit = jnp.zeros((64,), jnp.uint8)
+    packed_idx = jnp.concatenate([p for p, _ in packed_parts] + [frame_idx])
+    packed_bit = jnp.concatenate([b for _, b in packed_parts] + [frame_bit])
+    frame_base = base
+
+    lane_runs = []
+    lane_total = []
+    lane_owner = []                       # (image, segment)
+    for d, (im, plans) in enumerate(zip(images, img_plans)):
+        for si, plan in enumerate(plans):
+            runs = [(0, frame_base, 1)]
+            dst = 1
+            for comp, y in plan:
+                ro = img_rowoffs[d][comp]
+                src0 = int(ro[y])
+                ln = int(ro[y + 1] - ro[y])
+                if ln:
+                    runs.append((dst, src0, ln))
+                    dst += ln
+            runs.append((dst, frame_base, 32))
+            dst += 32
+            lane_runs.append(runs)
+            lane_total.append(dst)
+            lane_owner.append((d, si))
+    S = len(lane_runs)
+    Lmax = _bucket(int(max(lane_total)), 1 << 14)
+    Rmax = max(len(r) for r in lane_runs)
+    run_dst = np.zeros((S, Rmax), np.int32)
+    run_off = np.zeros((S, Rmax), np.int32)
+    run_valid = np.zeros((S, Rmax), bool)
+    for s_i, runs in enumerate(lane_runs):
+        for r, (dst0, src0, ln) in enumerate(runs):
+            run_dst[s_i, r] = dst0
+            run_off[s_i, r] = src0 - dst0
+            run_valid[s_i, r] = True
+
+    oi, ob = _assemble_jit()(packed_idx, packed_bit, jnp.asarray(run_dst),
+                             jnp.asarray(run_off), jnp.asarray(run_valid),
+                             jnp.asarray(np.asarray(lane_total, np.int64)),
+                             Lmax)
+    emit, byte, carry, nbytes = vpx_scan.encode_streams_twopass(
+        oi, ob, window=window)
+    b2, c2 = _compact_out_jit()(emit, byte, carry)
+    nb = np.asarray(nbytes)
+    maxb = _bucket(int(nb.max()) + 1, 1 << 12)
+    bh = np.asarray(b2[:, :maxb])
+    ch = np.asarray(c2[:, :maxb])
+
+    out = [[] for _ in images]
+    for s_i in range(S):
+        n = int(nb[s_i])
+        bs = bytearray(bh[s_i, :n].astype(np.uint8).tobytes())
+        for i in np.nonzero(ch[s_i, :n])[0]:
+            j = int(i) - 1
+            while j >= 0 and bs[j] == 0xFF:
+                bs[j] = 0
+                j -= 1
+            assert j >= 0, "carry out of stream start"
+            bs[j] += 1
+        if len(bs) and (bs[-1] & 0xE0) == 0xC0:
+            bs.append(0)
+        d, si = lane_owner[s_i]
+        out[d].append(bytes(bs))
+    return out

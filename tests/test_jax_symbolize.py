@@ -121,3 +121,15 @@ def test_tpu_paths_edge_corpus(name):
     assert lep == compress_tpu(data, num_segments=4, symbolizer="native")
     assert decompress(lep) == data
     assert decompress_tpu(lep) == data
+
+
+def test_batch_compress_tpu():
+    """Multi-image batch encode: all images' segments share one phase-B
+    invocation; per-image output byte-identical to compress_tpu."""
+    from lepton_tpu.api import batch_compress_tpu
+    blobs = [open(os.path.join(IMAGES, n), "rb").read()
+             for n in ("nofsync.jpg", "androidcrop.jpg")]
+    leps = batch_compress_tpu(blobs, num_segments=4)
+    for blob, lep in zip(blobs, leps):
+        assert lep == compress_tpu(blob, num_segments=4)
+        assert decompress(lep) == blob
