@@ -146,6 +146,25 @@ def _bucket(n: int, q: int = 1 << 18) -> int:
     return (n + q - 1) // q * q
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _vmapped_symbolize(ci, icx, icy, mnt):
+    """jit(vmap(symbolize_slice)) cached by its static tables -- a fresh
+    closure per call would recompile every batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from .symbolize import symbolize_slice
+
+    def f(cf, quant, ra, cl):
+        return symbolize_slice(cf, ci, quant, icx, icy, mnt,
+                               jnp.int32(0), cl, ra)
+
+    return jax.jit(jax.vmap(f, in_axes=(0, None, 0, 0)))
+
+
 def _assemble_jit():
     """Module-level jit for the stream assembly (a nested @jax.jit closure
     would be a fresh function object per call and recompile every time)."""
@@ -158,7 +177,7 @@ def _assemble_jit():
         from functools import partial
 
         @partial(jax.jit, static_argnames=("Lmax",))
-        def assemble(packed_idx, packed_bit, run_dst, run_off, run_valid,
+        def assemble(packed, run_dst, run_off, run_valid,
                      seg_total, Lmax):
             S = run_dst.shape[0]
             Svec = jnp.arange(S)
@@ -170,9 +189,10 @@ def _assemble_jit():
             offs = jnp.cumsum(deltas, axis=1)
             src = jnp.arange(Lmax, dtype=jnp.int32)[None, :] + offs
             live = jnp.arange(Lmax)[None, :] < seg_total[:, None]
-            src = jnp.clip(src, 0, packed_idx.shape[0] - 1)
-            oi = jnp.where(live, packed_idx[src], PAD)
-            ob = jnp.where(live, packed_bit[src], 0)
+            src = jnp.clip(src, 0, packed.shape[0] - 1)
+            pk = packed[src]
+            oi = jnp.where(live, pk >> 1, PAD)
+            ob = jnp.where(live, (pk & 1).astype(jnp.uint8), 0)
             return oi, ob
 
         _ASSEMBLE = assemble
@@ -261,12 +281,12 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
             tuple(int(v) for v in ct.min_noise_threshold),
             jnp.int32(0), jnp.int32(component_sizes[c]),
             jnp.asarray(rha))
-        from .symbolize import row_symbol_counts, compact_symbols
+        from .symbolize import row_symbol_counts, compact_symbols_packed
         counts = np.asarray(row_symbol_counts(idx))        # [H], tiny
         total = int(counts.sum())
-        pi, pb, _ = compact_symbols(idx.reshape(-1), bit.reshape(-1),
-                                    _bucket(max(total, 1)))
-        packed_parts.append((pi, pb, total))
+        pk, _ = compact_symbols_packed(idx.reshape(-1), bit.reshape(-1),
+                                       _bucket(max(total, 1)))
+        packed_parts.append((pk, total))
         offs = np.zeros(H + 1, np.int64)
         offs[1:] = np.cumsum(counts)
         row_offsets.append(base + offs)
@@ -274,12 +294,8 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
         mark(f"symbolize+compact comp{c}")
 
     # constant framing tail: 33 FIXED_PROB zero-bit slots (marker + stop)
-    frame_idx = jnp.full((64,), FIXED_PROB, jnp.int32)
-    frame_bit = jnp.zeros((64,), jnp.uint8)
-    packed_idx = jnp.concatenate([p for p, _, _ in packed_parts]
-                                 + [frame_idx])
-    packed_bit = jnp.concatenate([b for _, b, _ in packed_parts]
-                                 + [frame_bit])
+    frame = jnp.full((64,), FIXED_PROB * 2, jnp.int32)
+    packed = jnp.concatenate([p for p, _ in packed_parts] + [frame])
     frame_base = base
 
     # 2. host: run plan per segment (marker, rows in row_spec order, stop)
@@ -310,7 +326,7 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
             run_valid[s, r] = True
 
     # 3. device: run-offset scatter + cumsum + flat gather -> [S, Lmax]
-    oi, ob = _assemble_jit()(packed_idx, packed_bit,
+    oi, ob = _assemble_jit()(packed,
                              jnp.asarray(run_dst.astype(np.int32)),
                              jnp.asarray(run_off.astype(np.int32)),
                              jnp.asarray(run_valid),
@@ -371,57 +387,77 @@ def encode_images_device(images, window: int = 32):
     import jax
     import jax.numpy as jnp
 
-    from .symbolize import compact_symbols, row_symbol_counts, \
+    from .symbolize import compact_symbols_packed, row_symbol_counts, \
         symbolize_slice
     from . import vpx_scan
     from .vpx_scan import FIXED_PROB, PAD
 
-    packed_parts = []
-    img_plans = []
-    img_rowoffs = []
-    base = 0
-    for im in images:
-        planes = im["planes"]
-        color_tables = im["color_tables"]
-        ncomp = len(planes)
-        heights = [p.shape[0] for p in planes]
-        plans = plan_rows(heights, im["mcuv"], im["max_coded_heights"],
-                          im["splits_y"])
-        tops = segment_top_rows(plans, ncomp)
-        img_plans.append(plans)
-        rowoffs = []
-        for c in range(ncomp):
-            ct = color_tables[c]
-            cix = im.get("color_index")
-            ci = (0 if c == 0 else 1) if cix is None else cix(c)
-            H = heights[c]
-            rha = np.ones(H, dtype=bool)
-            rha[0] = False
-            for y in tops[c]:
-                rha[y] = False
-            idx, bit = symbolize_slice(
-                jnp.asarray(planes[c]), ci,
-                jnp.asarray(ct.quant, dtype=jnp.int32),
-                tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_x),
-                tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_y),
-                tuple(int(v) for v in ct.min_noise_threshold),
-                jnp.int32(0), jnp.int32(im["component_sizes"][c]),
-                jnp.asarray(rha))
-            counts = np.asarray(row_symbol_counts(idx))
-            total = int(counts.sum())
-            pi, pb, _ = compact_symbols(idx.reshape(-1), bit.reshape(-1),
-                                        _bucket(max(total, 1)))
-            packed_parts.append((pi, pb))
-            offs = np.zeros(H + 1, np.int64)
-            offs[1:] = np.cumsum(counts)
-            rowoffs.append(base + offs)
-            base += _bucket(max(total, 1))
-        img_rowoffs.append(rowoffs)
+    # group same-geometry/same-qtable images so symbolization runs as ONE
+    # vmapped dispatch per (group, component) and compaction as one call
+    # over the stacked slabs (per-image dispatches dominate batch latency
+    # through a remote TPU link)
+    groups = {}
+    img_plans = [None] * len(images)
+    img_rowoffs = [None] * len(images)
+    for d, im in enumerate(images):
+        cix = im.get("color_index")
+        ncomp = len(im["planes"])
+        key = tuple(
+            (im["planes"][c].shape,
+             bytes(np.asarray(im["color_tables"][c].quant, np.int32)),
+             (0 if c == 0 else 1) if cix is None else cix(c))
+            for c in range(ncomp))
+        groups.setdefault(key, []).append(d)
+        heights = [p.shape[0] for p in im["planes"]]
+        img_plans[d] = plan_rows(heights, im["mcuv"],
+                                 im["max_coded_heights"], im["splits_y"])
+        img_rowoffs[d] = [None] * ncomp
 
-    frame_idx = jnp.full((64,), FIXED_PROB, jnp.int32)
-    frame_bit = jnp.zeros((64,), jnp.uint8)
-    packed_idx = jnp.concatenate([p for p, _ in packed_parts] + [frame_idx])
-    packed_bit = jnp.concatenate([b for _, b in packed_parts] + [frame_bit])
+    packed_parts = []
+    base = 0
+    for key, members in groups.items():
+        ncomp = len(key)
+        for c in range(ncomp):
+            ct = images[members[0]]["color_tables"][c]
+            ci = key[c][2]
+            H, W = key[c][0][0], key[c][0][1]
+            icx = tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_x)
+            icy = tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_y)
+            mnt = tuple(int(v) for v in ct.min_noise_threshold)
+            quant = jnp.asarray(ct.quant, dtype=jnp.int32)
+            # chunk the group so stacked slabs stay within a few GB of HBM
+            slab_bytes = H * W * 1400 * 5
+            chunk = max(1, (3 << 30) // max(slab_bytes, 1))
+            for lo in range(0, len(members), chunk):
+                part = members[lo:lo + chunk]
+                coefs = np.stack([np.asarray(images[d]["planes"][c])
+                                  for d in part])
+                rha = np.ones((len(part), H), dtype=bool)
+                csv = np.zeros(len(part), np.int32)
+                for g, d in enumerate(part):
+                    tops = segment_top_rows(img_plans[d], ncomp)
+                    rha[g, 0] = False
+                    for y in tops[c]:
+                        rha[g, y] = False
+                    csv[g] = images[d]["component_sizes"][c]
+                idx, bit = _vmapped_symbolize(ci, icx, icy, mnt)(
+                    jnp.asarray(coefs), quant, jnp.asarray(rha),
+                    jnp.asarray(csv))
+                counts = np.asarray(jax.vmap(row_symbol_counts)(idx))
+                total = int(counts.sum())
+                pk, _ = compact_symbols_packed(
+                    idx.reshape(-1), bit.reshape(-1),
+                    _bucket(max(total, 1)))
+                packed_parts.append(pk)
+                flat_off = np.zeros(len(part) * H + 1, np.int64)
+                flat_off[1:] = np.cumsum(counts.reshape(-1))
+                for g, d in enumerate(part):
+                    img_rowoffs[d][c] = \
+                        base + flat_off[g * H:g * H + H + 1]
+                base += _bucket(max(total, 1))
+
+    frame = jnp.full((64,), FIXED_PROB * 2, jnp.int32)
+    packed = jnp.concatenate(packed_parts + [frame])
     frame_base = base
 
     lane_runs = []
@@ -455,7 +491,7 @@ def encode_images_device(images, window: int = 32):
             run_off[s_i, r] = src0 - dst0
             run_valid[s_i, r] = True
 
-    oi, ob = _assemble_jit()(packed_idx, packed_bit, jnp.asarray(run_dst),
+    oi, ob = _assemble_jit()(packed, jnp.asarray(run_dst),
                              jnp.asarray(run_off), jnp.asarray(run_valid),
                              jnp.asarray(np.asarray(lane_total, np.int64)),
                              Lmax)

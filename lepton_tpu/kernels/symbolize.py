@@ -324,6 +324,23 @@ def compact_symbols(idx_flat: jnp.ndarray, bit_flat: jnp.ndarray,
     return out_idx[:out_size], out_bit[:out_size], jnp.sum(valid)
 
 
+@partial(jax.jit, static_argnames=("out_size",))
+def compact_symbols_packed(idx_flat: jnp.ndarray, bit_flat: jnp.ndarray,
+                           out_size: int):
+    """Like compact_symbols but packs (idx, bit) into ONE int32 stream
+    (idx<<1 | bit): the compaction scatter is the batch-encode floor on
+    TPU, and one scattered array halves it.  Arithmetic shifts keep the
+    negative sentinels intact: unpack idx = packed >> 1, bit = packed & 1
+    (PAD -1 -> packed -2/-1 -> idx -1; FIXED_PROB -2 -> -4/-3 -> -2)."""
+    valid = idx_flat != PAD
+    packed = (idx_flat << 1) | bit_flat.astype(jnp.int32)
+    pos = jnp.cumsum(valid) - 1
+    tgt = jnp.where(valid, pos, out_size)
+    out = jnp.full((out_size + 1,), PAD * 2, dtype=jnp.int32)
+    out = out.at[tgt].set(packed)
+    return out[:out_size], jnp.sum(valid)
+
+
 @jax.jit
 def row_symbol_counts(idx: jnp.ndarray):
     """Valid-symbol count per block row of the padded [R, W, S] array."""

@@ -778,7 +778,7 @@ def ans_pass(probs: jnp.ndarray, bits: jnp.ndarray, nsyms: jnp.ndarray,
     return (e1, w1, e2, w2), (h1, l1, h2, l2), int(padNP)
 
 
-def finalize_ans_streams(ys, flush, padNP, npairs):
+def finalize_ans_streams(ys, flush, padNP):
     """Host assembly mirroring ANSWriter.finish: words were appended
     during the reverse walk (s1's word before s2's per pair), then the
     final states flush as s1_hi, s1_lo, s2_hi, s2_lo; output is the
@@ -823,4 +823,4 @@ def encode_streams_ans(segments, window: int = 16):
     bj = jnp.asarray(bits)
     probs = model_probs_sorted(ij, bj, 32, update="adv")
     ys, flush, padNP = ans_pass(probs, bj, jnp.asarray(nsyms), window)
-    return finalize_ans_streams(ys, flush, padNP, (nsyms + 1) // 2)
+    return finalize_ans_streams(ys, flush, padNP)
