@@ -121,7 +121,7 @@ def measure_reference_live(our_sizes=None):
         try:
             if not (os.path.isdir("/root/reference")
                     and shutil.which("cmake") and shutil.which("ninja")):
-                return None
+                return None, None
             os.makedirs("/tmp/refbuild", exist_ok=True)
             subprocess.run(["cmake", "/root/reference",
                             "-DCMAKE_BUILD_TYPE=Release", "-G", "Ninja"],
@@ -130,7 +130,7 @@ def measure_reference_live(our_sizes=None):
             subprocess.run(["ninja", "lepton"], cwd="/tmp/refbuild",
                            capture_output=True, timeout=1200, check=True)
         except Exception:
-            return None
+            return None, None
     total = 0
     te = td = 0.0
     mismatches = []

@@ -14,8 +14,10 @@ def _configure_jax_cache() -> None:
     LEPTON_TPU_JAX_CACHE=0; the directory is overridable with
     LEPTON_TPU_JAX_CACHE_DIR.
     """
-    if os.environ.get("LEPTON_TPU_JAX_CACHE", "1") == "0":
+    global _JAX_CACHE_DONE
+    if _JAX_CACHE_DONE or os.environ.get("LEPTON_TPU_JAX_CACHE", "1") == "0":
         return
+    _JAX_CACHE_DONE = True
     try:
         import jax
         path = os.environ.get(
@@ -30,4 +32,8 @@ def _configure_jax_cache() -> None:
         pass  # jax absent or too old: the host codec needs none of this
 
 
-_configure_jax_cache()
+_JAX_CACHE_DONE = False
+
+# Deliberately NOT called at import: eager `import jax` costs seconds on a
+# small host and mutates global jax.config for embedders.  The TPU entry
+# points (api.compress_tpu / decompress_tpu / kernels) call it lazily.

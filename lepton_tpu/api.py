@@ -353,6 +353,13 @@ def decompress_tpu(lep_data: bytes, mesh=None) -> bytes:
     Covers mode-Z v1/v2 containers (the TPU kernel is the baseline token
     parser); v3/ANS and progressive fall back to the host decoder.
     """
+    if os.environ.get("LEPTON_COMPRESSION_MODEL"):
+        # the TPU kernel initializes the identity (1,1,128) arena; a
+        # trained-model container must go through the host decoder, which
+        # honors the env (ADVICE r2)
+        return decompress(lep_data)
+    from . import _configure_jax_cache
+    _configure_jax_cache()
     hdr, mux_region = read_container(lep_data)
     if hdr.version == 3 or hdr.mode != ord("Z"):
         return decompress(lep_data)
@@ -668,6 +675,15 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
     sorted-branch model pass with the adv update rule + the reverse
     rANS register chain, kernels.vpx_scan.encode_streams_ans).
     """
+    if os.environ.get("LEPTON_COMPRESSION_MODEL"):
+        # the JAX two-pass coder assumes the identity model start; honor
+        # trained models via the host encoder (same splits => same bytes)
+        return compress(jpeg_data, max_threads=num_segments,
+                        allow_progressive=allow_progressive,
+                        allow_four_colors=allow_four_colors,
+                        version=version)
+    from . import _configure_jax_cache
+    _configure_jax_cache()
     import jax
 
     from .kernels import vpx_scan
@@ -762,8 +778,13 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
     Returns a list of .lep containers, each byte-identical to
     compress_tpu on the same input.
     """
+    from . import _configure_jax_cache
+    _configure_jax_cache()
     from .kernels.encode_pipeline import encode_images_device
     from .model.context import ColorTables
+
+    if os.environ.get("LEPTON_COMPRESSION_MODEL"):
+        return [compress(b, max_threads=num_segments) for b in jpeg_blobs]
 
     descs = []
     metas = []

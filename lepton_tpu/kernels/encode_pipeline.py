@@ -211,13 +211,18 @@ def _compact_out_jit():
 
         @jax.jit
         def compact_out(emit, byte, carry):
+            # two sort keys (emitted-first, then position) rather than a
+            # packed (emit<<24)+pos scalar: positions beyond 2^24 (~2MB of
+            # output per lane) would overflow a packed discriminant and
+            # silently interleave dead slots into the stream.
             L = emit.shape[0]
-            key = jnp.where(emit, 0, 1).astype(jnp.int32) * (1 << 24) \
-                + jnp.arange(L, dtype=jnp.int32)[:, None]
-            k2, b2, c2 = lax.sort(
-                (key.T, byte.T.astype(jnp.int32),
+            dead = jnp.where(emit, 0, 1).astype(jnp.int32)
+            pos = jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.int32)[:, None], emit.shape)
+            k1, k2, b2, c2 = lax.sort(
+                (dead.T, pos.T, byte.T.astype(jnp.int32),
                  carry.T.astype(jnp.int32)),
-                dimension=1, is_stable=False, num_keys=1)
+                dimension=1, is_stable=False, num_keys=2)
             return b2, c2
 
         _COMPACT_OUT = compact_out
