@@ -344,11 +344,16 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
     return out
 
 
-def decompress_tpu(lep_data: bytes, mesh=None) -> bytes:
+def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
     """TPU-path decode: the per-segment adaptive VPX token decoding runs
-    on the accelerator (kernels.vpx_decode: lanes = segments, one block
-    per lane per scan step, predicated lockstep reads), then the host
-    re-emits the Huffman scan.  Output is bit-exact with decompress().
+    on the accelerator, then the host re-emits the Huffman scan.  Output
+    is bit-exact with decompress().
+
+    backend: "pallas" (kernels.pallas_decode: Mosaic block decoder,
+    VMEM-resident model, scalar while-loop control -- the silicon path),
+    "xla" (kernels.vpx_decode: predicated lockstep scan -- fast under
+    XLA:CPU, used by the virtual-mesh tests), or "auto" (pallas on a real
+    TPU platform, xla elsewhere).
 
     Covers mode-Z v1/v2 containers (the TPU kernel is the baseline token
     parser); v3/ANS and progressive fall back to the host decoder.
@@ -384,14 +389,25 @@ def decompress_tpu(lep_data: bytes, mesh=None) -> bytes:
     streams = [bytes(demux.buffers[i]) for i in range(len(handoffs))]
     splits_y = [th.luma_y_start for th in handoffs]
 
-    from .kernels.vpx_decode import decode_segments_tpu
     colors = _color_tables(info)
-    planes, err = decode_segments_tpu(
-        streams,
-        [(info.cmpnfo[c].bcv, info.cmpnfo[c].bch)
-         for c in range(info.cmpc)],
-        colors, info.mcuv, max_heights, comp_sizes, splits_y,
-        color_index=(lambda c: 0 if c == 0 else 1), mesh=mesh)
+    shapes = [(info.cmpnfo[c].bcv, info.cmpnfo[c].bch)
+              for c in range(info.cmpc)]
+    if backend == "auto":
+        import jax
+        backend = "pallas" if (mesh is None and
+                               jax.devices()[0].platform == "tpu") \
+            else "xla"
+    if backend == "pallas":
+        from .kernels.pallas_decode import decode_segments_pallas
+        planes, err = decode_segments_pallas(
+            streams, shapes, colors, info.mcuv, max_heights, comp_sizes,
+            splits_y, color_index=(lambda c: 0 if c == 0 else 1))
+    else:
+        from .kernels.vpx_decode import decode_segments_tpu
+        planes, err = decode_segments_tpu(
+            streams, shapes, colors, info.mcuv, max_heights, comp_sizes,
+            splits_y, color_index=(lambda c: 0 if c == 0 else 1),
+            mesh=mesh)
     if err.any():
         raise LeptonError("lepton stream inconsistent (TPU decode)")
 
@@ -445,11 +461,23 @@ def generic_compress(data: bytes, num_threads: int = 8) -> bytes:
 
 
 def compress_any(data: bytes, permissive: bool = False, verify: bool = True,
-                 **kw) -> bytes:
+                 engine: str = "host", **kw) -> bytes:
     """Compress with optional roundtrip validation and permissive fallback
-    (the validateAndCompress contract, validation.cc:15-219)."""
+    (the validateAndCompress contract, validation.cc:15-219).
+
+    engine="tpu" routes the encode through the accelerator path
+    (compress_tpu: on-device symbolization + lane-parallel phase-B);
+    verification always decodes with the independent host decoder, so the
+    roundtrip gate spans both implementations."""
     try:
-        lep = compress(data, **kw)
+        if engine == "tpu":
+            lep = compress_tpu(
+                data, num_segments=kw.get("max_threads", 16),
+                allow_progressive=kw.get("allow_progressive", False),
+                allow_four_colors=kw.get("allow_four_colors", False),
+                version=kw.get("version", 1))
+        else:
+            lep = compress(data, **kw)
         if verify:
             # a -startbyte slice reconstructs only data[start_byte:]
             # (the reference validates the md5 of that range, ioutil.cc:221)
@@ -768,7 +796,8 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
 
 
 def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
-                       window: int = 32) -> list:
+                       window: int = 32,
+                       allow_progressive: bool = False) -> list:
     """Batch-encode many JPEGs on one chip: every image's segments become
     coder lanes in a single phase-B invocation (lanes carry O(1) state in
     the two-pass design, so batch size is free parallelism).  This is the
@@ -784,14 +813,17 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
     from .model.context import ColorTables
 
     if os.environ.get("LEPTON_COMPRESSION_MODEL"):
-        return [compress(b, max_threads=num_segments) for b in jpeg_blobs]
+        return [compress(b, max_threads=num_segments,
+                         allow_progressive=allow_progressive)
+                for b in jpeg_blobs]
 
     descs = []
     metas = []
     for data in jpeg_blobs:
         parsed = parse_jpeg(data)
         info = image_info_from_header(parsed.hdrdata)
-        dec = decode_scans(parsed, info)
+        dec = decode_scans(parsed, info,
+                           allow_progressive=allow_progressive)
         num_threads = choose_num_threads(
             len(dec.handoffs),
             dec.handoffs[-1].segment_size - dec.handoffs[0].segment_size,

@@ -45,6 +45,10 @@ Usage: lepton [switches] input_file [output_file]
   -zliblisten=<port>: serve zlib-wrapped TCP
   -maxchildren=<n> : serving concurrency bound
   -benchmark       : run the built-in benchmark
+  -tpu             : route encode/decode through the accelerator path
+                     (on-device symbolization + lane-parallel phase-B;
+                     Pallas token decode); implies -unjailed; with a
+                     serve flag, requests batch onto the chip
 """
 
 
@@ -130,6 +134,16 @@ def main(argv=None) -> int:
         elif arg == "overwrite":
             opts["overwrite"] = True
         elif arg == "-unjailed":
+            opts["unjailed"] = True
+        elif arg == "-tpu":
+            # accelerator path: encode via compress_tpu (on-device
+            # symbolization + lane-parallel phase-B), decode via
+            # decompress_tpu.  Implies -unjailed: the JAX runtime needs
+            # sockets/mmap that the seccomp allow-list bans (the
+            # reference has no accelerator path; this delta is the cost
+            # of one).  Verification still runs the independent host
+            # decoder, so the roundtrip gate spans both implementations.
+            opts["tpu"] = True
             opts["unjailed"] = True
         elif arg in ("-preload", "-decode", "-encode", "-recode",
                      "-unkillable", "-hugepages", "-verbose",
@@ -468,8 +482,14 @@ def _process(data: bytes, opts) -> tuple:
         return ujg_compress(
             data, allow_progressive=opts["allow_progressive"]), "jpeg"
     if kind == "jpeg":
+        # the TPU encode covers the plain paths; slice/embedding/4:4
+        # variants stay on the host codec (same output contract)
+        use_tpu = opts.get("tpu") and not (
+            opts.get("start_byte") or opts.get("embedding")
+            or opts.get("allow_34_sampling") or opts["even_split"])
         out = compress_any(
             data, permissive=opts["permissive"], verify=opts["verify"],
+            engine="tpu" if use_tpu else "host",
             max_threads=opts["max_threads"], min_threads=opts["min_threads"],
             even_split=opts["even_split"],
             allow_progressive=opts["allow_progressive"],
@@ -494,6 +514,14 @@ def _process(data: bytes, opts) -> tuple:
         from .container.zlib0 import zlib0_wrap
         from .api import decompress_all
         return zlib0_wrap(decompress_all(data)), "lepton"
+    if kind == "lepton" and opts.get("tpu") and \
+            not opts.get("recodememory"):
+        # accelerator decode (token parse on-chip; Huffman re-emit on
+        # host); multi-container concatenations fall back to the host
+        from .api import decompress_tpu, _container_end
+        if _container_end(data, 0) == len(data):
+            return decompress_tpu(data), "lepton"
+        return decompress_all(data), "lepton"
     if kind == "lepton":
         if opts.get("recodememory"):
             from .api import (decompress_streaming, read_container,

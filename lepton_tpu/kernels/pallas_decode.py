@@ -45,8 +45,6 @@ LOTS_OF_BITS = 0x40000000
 _MAXE = C.MAX_EXPONENT
 _RNF = C.RESIDUAL_NOISE_FLOOR
 _CAP = (1 << _RNF) - 1
-_MINI32 = jnp.int32(-(1 << 31))
-
 _OFF = {k: int(v) for k, v in TABLE_OFFSETS.items()}
 _STR = {k: tuple(int(s) for s in v) for k, v in TABLE_STRIDES.items()}
 
@@ -56,7 +54,8 @@ RD_FIELDS = 8
 
 def _u_ge(a, b):
     """Unsigned >= on int32 scalars (sign-flip trick)."""
-    return (a ^ _MINI32) >= (b ^ _MINI32)
+    m = np.int32(-(1 << 31))
+    return (a ^ m) >= (b ^ m)
 
 
 def _div2_tz(v):
@@ -69,25 +68,21 @@ def _wrap16(v):
 
 
 def _bitlen_f32(v):
-    """bit_length(v) for 0 <= v <= 1023 via the f32 exponent field
-    (f32 is exact on this domain; verified exhaustively in tests).
-    Works elementwise on vectors and scalars."""
-    f = v.astype(jnp.float32)
-    e = (lax.bitcast_convert_type(f, jnp.int32) >> 23) - 126
-    return jnp.where(v > 0, e, 0)
+    """bit_length(v) for v >= 0 (scalars or vectors) via count-leading-
+    zeros (Mosaic lowers lax.clz on both)."""
+    return jnp.where(v > 0, 32 - lax.clz(v), 0)
 
 
 def _div_exact(n, d):
-    """floor(n/d) for |n| <= 2^22, 1 <= d <= 2^10: f32 division + one-step
-    fixup (both operands exactly representable; error < 1)."""
-    q = (n.astype(jnp.float32) / d.astype(jnp.float32)).astype(jnp.int32)
-    r = n - q * d
-    return q + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    """floor(n/d), n >= 0, d >= 1 (Mosaic lowers scalar integer
+    division natively — probed on the v5e)."""
+    return n // d
 
 
 def _trunc_div(a, b):
-    """Truncate-toward-zero division (C semantics), b > 0 scalar."""
-    return jnp.where(a < 0, -_div_exact(-a, b), _div_exact(a, b))
+    """Truncate-toward-zero division (C semantics), b > 0 scalar.
+    lax.div has exactly C's truncation semantics for int32."""
+    return lax.div(a, b)
 
 
 def _branch_update(fc, tc, bit):
@@ -248,6 +243,9 @@ def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp):
         lane1 = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
         arena[...] = jnp.full((AR_ROWS, LANES), 0x010180, jnp.int32)
+        # rows truncated by early EOF never get written: the plane
+        # contract is zero there (the XLA kernel zero-fills its buffer)
+        coef_ref[...] = jnp.zeros((n_flat, LANES), jnp.int32)
         dlen = meta_ref[s, 0]
         nrows = meta_ref[s, 1]
 
@@ -596,7 +594,7 @@ def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp):
                 est_l = _wrap16(sum_l_vert - _div2_tz(col0 - col1)
                                 - (col0 + 1024))
                 # above horiz summary stored at lanes 1..8: align to 0..7
-                horiz_a = pltpu.roll(summ_a, -1, 1)
+                horiz_a = pltpu.roll(summ_a, LANES - 1, 1)  # left by 1
                 est_a = _wrap16(horiz_a - _div2_tz(row0 - row1)
                                 - (row0 + 1024))
                 el = jnp.where(has_left, est_l, 0)

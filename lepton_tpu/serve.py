@@ -61,6 +61,120 @@ def _handle(conn: socket.socket, opts, zlib_wrap: bool) -> None:
     conn.close()
 
 
+def _process_tpu_batch(reqs, opts) -> None:
+    """Transcode a batch of drained requests through the accelerator:
+    all JPEG requests' segments become coder lanes of ONE
+    batch_compress_tpu invocation (the serving-throughput design point);
+    lepton requests decode via the TPU token parser.  Verify-by-default
+    runs the independent host decoder per request; any failure degrades
+    that request to the host path, and a request that still fails gets
+    the zero-byte reply (the reference's output contract).
+
+    reqs: list of [conn, zlib_wrap, data, out] (out filled in place).
+    """
+    from .api import batch_compress_tpu, decompress
+    from .cli import _process, sniff
+
+    jpegs = [r for r in reqs if sniff(r[2]) == "jpeg"]
+    others = [r for r in reqs if sniff(r[2]) != "jpeg"]
+    outs = None
+    if jpegs:
+        try:
+            outs = batch_compress_tpu(
+                [r[2] for r in jpegs],
+                num_segments=opts.get("max_threads", 16))
+        except Exception:
+            outs = None
+    for i, r in enumerate(jpegs):
+        out = b""
+        if outs is not None:
+            out = outs[i]
+            if opts.get("verify", True):
+                try:
+                    if decompress(out) != r[2]:
+                        out = b""
+                except Exception:
+                    out = b""
+        if not out:
+            try:
+                out, _ = _process(r[2], opts)
+            except Exception:
+                out = b""
+        r[3] = out
+    for r in others:
+        try:
+            out, _ = _process(r[2], opts)
+        except Exception:
+            if opts.get("permissive"):
+                from .api import generic_compress
+                try:
+                    out = generic_compress(r[2])
+                except Exception:
+                    out = b""
+            else:
+                out = b""
+        r[3] = out
+
+
+def _serve_tpu(socks, opts) -> int:
+    """Single-process accelerator serving loop: drains the accept
+    backlog into a batch, transcodes the batch on-chip, replies.  No
+    per-connection fork (the JAX runtime does not survive fork);
+    isolation still holds per batch via the zero-byte contract."""
+    import select
+    import zlib as _zlib
+    sys.stderr.write("tpu batch serving enabled\n")
+    while True:
+        try:
+            ready, _, _ = select.select([s for s, _ in socks], [], [],
+                                        None)
+        except InterruptedError:
+            continue
+        batch = []
+        while ready:
+            for s in ready:
+                zw = next(z for ss, z in socks if ss is s)
+                try:
+                    conn, _ = s.accept()
+                except OSError:
+                    continue
+                batch.append((conn, zw))
+            try:
+                ready, _, _ = select.select([s for s, _ in socks], [], [],
+                                            0.005)
+            except InterruptedError:
+                ready = []
+        reqs = []
+        for conn, zw in batch:
+            chunks = []
+            try:
+                while True:
+                    b = conn.recv(65536)
+                    if not b:
+                        break
+                    chunks.append(b)
+            except OSError:
+                pass
+            data = b"".join(chunks)
+            if zw:
+                try:
+                    data = _zlib.decompress(data)
+                except Exception:
+                    data = b""
+            reqs.append([conn, zw, data, b""])
+        _process_tpu_batch(reqs, opts)
+        for conn, zw, _, out in reqs:
+            if zw:
+                out = _zlib.compress(out)
+            try:
+                conn.sendall(out)
+                conn.shutdown(socket.SHUT_WR)
+            except OSError:
+                pass
+            conn.close()
+    return 0
+
+
 def serve(socket_path, listen_port, zlib_port, max_children, opts) -> int:
     socks = []
     if socket_path:
@@ -89,6 +203,9 @@ def serve(socket_path, listen_port, zlib_port, max_children, opts) -> int:
         sys.stderr.write(f"listening on zlib tcp {zlib_port}\n")
     if not socks:
         return 1
+
+    if opts.get("tpu"):
+        return _serve_tpu(socks, opts)
 
     children = set()
     import select

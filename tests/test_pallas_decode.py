@@ -1,0 +1,67 @@
+"""Pallas decode kernel parity: the Mosaic block decoder
+(kernels/pallas_decode) must produce exactly the planes of the XLA
+decode kernel / host decoder.  Runs in Pallas interpret mode on a tiny
+synthetic image (the real-silicon gates live in bench.py and the slow
+TPU suite)."""
+import io
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from lepton_tpu.api import (  # noqa: E402
+    _color_tables, _truncation_geometry, compress, decompress)
+from lepton_tpu.container.format import read_container  # noqa: E402
+from lepton_tpu.container.mux import MuxReader  # noqa: E402
+from lepton_tpu.jpeg.imageinfo import image_info_from_header  # noqa: E402
+
+
+def _tiny_jpeg(w=32, h=24, seed=3, subsampling=2, quality=85):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 / w + yy * 255 / h) / 2
+    ch = np.clip(base + rng.normal(0, 30, (h, w)), 0, 255).astype(np.uint8)
+    arr = np.stack([ch, np.roll(ch, 3, 0), np.roll(ch, 5, 1)], -1)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=quality,
+                                     subsampling=subsampling)
+    return buf.getvalue()
+
+
+def _demux(lep):
+    """Container -> (streams, geometry) exactly as decompress_tpu does."""
+    hdr, mux_region = read_container(lep)
+    info = image_info_from_header(hdr.hdrdata, allow_34=True)
+    max_heights, comp_sizes = _truncation_geometry(info, hdr)
+    handoffs = hdr.handoffs
+    handoffs[-1].luma_y_end = info.cmpnfo[0].bcv
+    demux = MuxReader(mux_region)
+    streams = [bytes(demux.buffers[i]) for i in range(len(handoffs))]
+    splits_y = [th.luma_y_start for th in handoffs]
+    shapes = [(info.cmpnfo[c].bcv, info.cmpnfo[c].bch)
+              for c in range(info.cmpc)]
+    return (streams, shapes, _color_tables(info), info.mcuv,
+            max_heights, comp_sizes, splits_y)
+
+
+@pytest.mark.parametrize("nseg", [1, 2])
+def test_pallas_decode_parity_interpret(nseg):
+    from lepton_tpu.kernels.pallas_decode import decode_segments_pallas
+    from lepton_tpu.kernels.vpx_decode import decode_segments_tpu
+
+    data = _tiny_jpeg()
+    lep = compress(data, max_threads=nseg, min_threads=nseg)
+    assert decompress(lep) == data
+    args = _demux(lep)
+    want, err_w = decode_segments_tpu(
+        *args, color_index=lambda c: 0 if c == 0 else 1)
+    got, err_g = decode_segments_pallas(
+        *args, color_index=lambda c: 0 if c == 0 else 1, interpret=True)
+    assert not err_w.any() and not err_g.any()
+    for c, (w, g) in enumerate(zip(want, got)):
+        assert np.array_equal(w, g), (
+            c, np.argwhere(w != g)[:5], w[w != g][:5], g[w != g][:5])
