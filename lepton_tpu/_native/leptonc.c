@@ -2872,6 +2872,57 @@ static int lepton_install_jail_mode(unsigned deny_action) {
 
 EXPORT int lepton_jail_supported(void) { return 1; }
 
+/* Stage-2 filter: drop the dynamic-memory syscalls stage 1 must still
+ * allow for the Python runtime (brk/mmap/mremap).  Installed only after
+ * the transcode heap is pre-grown (lepton_prejail_heap) so the
+ * allocator serves the whole transcode from its existing arena -- the
+ * closest a hosted runtime gets to the reference's preallocate-then-
+ * strict-filter design (MemMgrAllocator.cc:159 + Seccomp.cc:67-138).
+ * mprotect/munmap/madvise stay allowed: freeing and in-place
+ * permission changes on already-mapped pages add no reachable surface.
+ * Seccomp filters stack, so this composes with the stage-1 allowlist. */
+EXPORT int lepton_install_jail_stage2(void) {
+    struct sock_filter prog[] = {
+        { BPF_LD | BPF_W | BPF_ABS, 0, 0,
+          offsetof(struct seccomp_data, nr) },
+        { BPF_JMP | BPF_JEQ | BPF_K, 3, 0, __NR_brk },
+        { BPF_JMP | BPF_JEQ | BPF_K, 2, 0, __NR_mmap },
+        { BPF_JMP | BPF_JEQ | BPF_K, 1, 0, __NR_mremap },
+        { BPF_RET | BPF_K, 0, 0, SECCOMP_RET_ALLOW },
+        { BPF_RET | BPF_K, 0, 0, SECCOMP_RET_KILL_PROCESS },
+    };
+    struct sock_fprog fprog = {
+        sizeof(prog) / sizeof(prog[0]), prog };
+    if (prctl(PR_SET_NO_NEW_PRIVS, 1, 0, 0, 0) != 0) return -1;
+    if (prctl(PR_SET_SECCOMP, SECCOMP_MODE_FILTER, &fprog) != 0) return -2;
+    return 0;
+}
+
+/* Pre-grow the glibc heap by `bytes` of touched pages and pin it there
+ * (no trim, no mmap for large chunks), so a post-stage-2 transcode
+ * allocates without asking the kernel for memory.  Run with
+ * PYTHONMALLOC=malloc so CPython's object allocator routes here too. */
+#include <malloc.h>
+EXPORT int lepton_prejail_heap(int64_t bytes) {
+    mallopt(M_MMAP_MAX, 0);
+    mallopt(M_TRIM_THRESHOLD, -1);
+    size_t chunk = 64 * 1024 - 64;
+    size_t n = (size_t)(bytes > 0 ? bytes : 0) / chunk + 1;
+    void **ptrs = (void **)malloc(n * sizeof(void *));
+    if (!ptrs) return -1;
+    size_t got = 0;
+    for (size_t i = 0; i < n; ++i) {
+        char *p = (char *)malloc(chunk);
+        if (!p) break;
+        for (size_t off = 0; off < chunk; off += 4096) p[off] = 0;
+        ptrs[got++] = p;
+    }
+    for (size_t i = 0; i < got; ++i) free(ptrs[i]);
+    int rc = got == n ? 0 : -2;
+    free(ptrs);
+    return rc;
+}
+
 /* fault injection: issue a banned syscall (getcwd, like the reference's
  * test_syscall_injection, jpgcoder.cc:1324) -- under the jail the process
  * dies with SIGSYS */
@@ -2879,13 +2930,28 @@ EXPORT long lepton_inject_syscall(void) {
     char buf[64];
     return syscall(__NR_getcwd, buf, sizeof(buf));
 }
+
+/* fault injection for the stage-2 filter: a direct anonymous mmap
+ * (-injectsyscall=5) must die with SIGSYS under the full jail */
+#include <sys/mman.h>
+EXPORT long lepton_inject_syscall_mmap(void) {
+    void *p = mmap(NULL, 4096, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    return p == MAP_FAILED ? -1 : (long)(intptr_t)p;
+}
 #else
 EXPORT int lepton_install_jail(void) { return -3; }
+EXPORT int lepton_install_jail_stage2(void) { return -3; }
+EXPORT int lepton_prejail_heap(int64_t bytes) { (void)bytes; return -3; }
 EXPORT int lepton_jail_supported(void) { return 0; }
 EXPORT long lepton_inject_syscall(void) { return -1; }
+EXPORT long lepton_inject_syscall_mmap(void) { return -1; }
 #endif
 #else
 EXPORT int lepton_install_jail(void) { return -3; }
+EXPORT int lepton_install_jail_stage2(void) { return -3; }
+EXPORT int lepton_prejail_heap(int64_t bytes) { (void)bytes; return -3; }
 EXPORT int lepton_jail_supported(void) { return 0; }
 EXPORT long lepton_inject_syscall(void) { return -1; }
+EXPORT long lepton_inject_syscall_mmap(void) { return -1; }
 #endif

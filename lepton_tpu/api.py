@@ -76,6 +76,38 @@ def _apply_model_env() -> None:
 
 
 _MAX_WORKERS = None
+_POOL = None
+
+
+def _warm_pool() -> None:
+    """Pre-spawn the worker pool with live stacks: thread creation
+    mmaps a stack, which the stage-2 jail bans, so jailed transcodes
+    must reuse threads spawned pre-jail (the reference likewise spawns
+    its GenericWorkers before installing seccomp,
+    generic_worker.cc:97-100)."""
+    global _MAX_WORKERS, _POOL
+    if _MAX_WORKERS is None:
+        _MAX_WORKERS = min(8, os.cpu_count() or 1)
+    if _MAX_WORKERS <= 1 or _POOL is not None:
+        return
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+    _POOL = ThreadPoolExecutor(max_workers=_MAX_WORKERS)
+    barrier = threading.Barrier(_MAX_WORKERS + 1, timeout=10)
+
+    def _spin():
+        try:
+            barrier.wait()
+        except threading.BrokenBarrierError:
+            pass
+
+    futs = [_POOL.submit(_spin) for _ in range(_MAX_WORKERS)]
+    try:
+        barrier.wait()
+    except threading.BrokenBarrierError:
+        pass
+    for f in futs:
+        f.result()
 
 
 def _parallel_map(fn, jobs):
@@ -89,6 +121,8 @@ def _parallel_map(fn, jobs):
         _MAX_WORKERS = min(8, os.cpu_count() or 1)
     if len(jobs) <= 1 or _MAX_WORKERS <= 1:
         return [fn(j) for j in jobs]
+    if _POOL is not None:
+        return list(_POOL.map(fn, jobs))
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(_MAX_WORKERS, len(jobs))) as ex:
         return list(ex.map(fn, jobs))
@@ -366,7 +400,9 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
     from . import _configure_jax_cache
     _configure_jax_cache()
     hdr, mux_region = read_container(lep_data)
-    if hdr.version == 3 or hdr.mode != ord("Z"):
+    if hdr.version == 3 or hdr.mode not in (ord("Z"), ord("X")):
+        # mode Y (-startbyte slices) keeps the host decoder; v3/ANS is
+        # decoded by the same kernels once the ANS reader lands
         return decompress(lep_data)
     info = image_info_from_header(hdr.hdrdata, allow_34=True)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
@@ -412,6 +448,14 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
         raise LeptonError("lepton stream inconsistent (TPU decode)")
 
     info2 = image_info_from_header(hdr.hdrdata, allow_34=True)
+    if hdr.mode == ord("X"):
+        # progressive: identical token layer, different host re-emit
+        # (vp8_decoder.cc:388 fills colldata, then recode_jpeg)
+        from .jpeg.recode_progressive import recode_progressive_jpeg
+        return recode_progressive_jpeg(
+            hdr.hdrdata, planes, info2, hdr.padbit, hdr.rst_cnt,
+            hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
+            hdr.prefix_garbage, hdr.embedded_jpeg)
     return recode_baseline_jpeg(
         hdr.hdrdata, planes, handoffs, info2, hdr.padbit,
         hdr.rst_cnt, hdr.rst_cnt_set, hdr.rst_err, hdr.garbage,

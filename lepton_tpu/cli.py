@@ -29,9 +29,10 @@ Usage: lepton [switches] input_file [output_file]
   -allowprogressive: allow progressive jpegs through the compressor
   -rejectprogressive: reject encoding progressive jpegs
   -unjailed        : do not install the seccomp-BPF syscall jail
-  -injectsyscall=<1-4>: fault injection: issue a banned syscall from the
-                     main thread (1,3) or a segment worker (2,4); under
-                     the jail the process must die with SIGSYS
+  -injectsyscall=<1-5>: fault injection: issue a banned syscall from the
+                     main thread (1,3) or a segment worker (2,4), or a
+                     banned-memory mmap (5, stage-2 filter); under the
+                     jail the process must die with SIGSYS
   -maxencodethreads=<n> : upper bound on encode segments
   -minencodethreads=<n> : lower bound on encode segments
   -evensplit       : split segments evenly by row count
@@ -326,13 +327,31 @@ def _install_jail_and_inject(opts, encode_side: bool) -> None:
     the transcode needs) and arm any -injectsyscall= fault injection."""
     if not opts.get("unjailed"):
         _prepare_for_jail(opts)
-        from .util.sandbox import install_jail
+        from .util.sandbox import (install_jail, install_jail_stage2,
+                                   prejail_heap)
+        # the memory filter: pre-grow the heap to the declared envelope,
+        # then drop brk/mmap/mremap outright (the reference's
+        # preallocate-then-strict-filter shape).  Requires
+        # PYTHONMALLOC=malloc (the launcher re-execs to set it); skipped
+        # otherwise because CPython's pymalloc arenas call mmap
+        # directly.  Installed BEFORE the allowlist filter: that one
+        # bans prctl, so no further filter can follow it.
+        if os.environ.get("PYTHONMALLOC") == "malloc" and \
+                os.environ.get("LEPTON_NO_STAGE2") != "1":
+            budget = opts.get("recodememory") or \
+                int(os.environ.get("LEPTON_STAGE2_HEAP", 192 << 20))
+            if prejail_heap(budget):
+                install_jail_stage2()
         install_jail()
     if opts.get("injectsyscall") in (1, 3):
         # banned syscall from the main thread before the transcode;
         # under the jail the process dies with SIGSYS
         from .util.sandbox import inject_syscall
         inject_syscall()
+    elif opts.get("injectsyscall") == 5:
+        # banned-memory syscall (stage-2 filter): direct mmap
+        from .util.sandbox import inject_syscall_mmap
+        inject_syscall_mmap()
     elif opts.get("injectsyscall") in (2, 4):
         from . import _native
         if encode_side:
@@ -382,6 +401,7 @@ def _prepare_for_jail(opts) -> None:
         tiny = b"\xff\xd8" + api._BASIC_HEADER + b"\xff\xd9"
         api.decompress(api.compress(tiny))
         api.generic_compress(b"x")
+        api._warm_pool()     # thread stacks must exist before stage 2
     except Exception:
         pass
 
@@ -391,7 +411,8 @@ def _print_bill(jpeg_data: bytes, lep_data: bytes) -> None:
     jpgcoder.cc:1944, billing.hh)."""
     try:
         from . import _native
-        from .api import _native_image, _truncation_geometry
+        from .api import _native_image, _truncation_geometry, read_container
+        from .container.mux import MuxReader
         from .jpeg.decoder import decode_scans
         from .jpeg.imageinfo import image_info_from_header
         from .jpeg.parser import parse_jpeg
@@ -403,9 +424,24 @@ def _print_bill(jpeg_data: bytes, lep_data: bytes) -> None:
         img = _native_image(info, dec.planes, mh, cs)
         if img is None:
             return
+        # the container's own segmentation, so compressed-bit totals
+        # reconcile with the actual mux streams
+        hdr, mux_region = read_container(lep_data)
+        handoffs = hdr.handoffs
         bcv = info.cmpnfo[0].bcv
-        idx, _ = _native.native_symbolize_segment(img, 0, bcv, True)
-        print_bill([(idx, len(lep_data))], sys.stderr)
+        bounds = [th.luma_y_start for th in handoffs] + [bcv] \
+            if handoffs else [0, bcv]
+        segs = []
+        for i in range(len(bounds) - 1):
+            segs.append(_native.native_symbolize_segment(
+                img, bounds[i], bounds[i + 1], i == len(bounds) - 2))
+        demux = MuxReader(mux_region)
+        stream_bytes = sum(len(demux.buffers[i])
+                           for i in range(len(bounds) - 1))
+        header_bytes = len(lep_data) - len(mux_region)
+        print_bill(segs, sys.stderr, header_bytes=header_bytes,
+                   mux_overhead_bytes=len(mux_region) - stream_bytes,
+                   stream_bytes=stream_bytes)
     except Exception as e:
         _err(f"billing unavailable: {e}")
 

@@ -775,6 +775,33 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
         mnt[c, :64] = np.asarray(ct.min_noise_threshold, np.int32)
 
     luts = _build_luts()
+    fn = _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret)
+    coef, err = fn(
+        jnp.asarray(luts), jnp.asarray(meta),
+        jnp.asarray(rowdesc.reshape(S * Tmax, LANES)),
+        jnp.asarray(data.reshape(S * Lrows, LANES)),
+        jnp.asarray(q88), jnp.asarray(qflat), jnp.asarray(icxT),
+        jnp.asarray(icy88), jnp.asarray(mnt))
+
+    coef_np = np.asarray(coef).reshape(S, n_flat, LANES)[:, :, :64] \
+        .astype(np.int16)
+    planes = [np.zeros((heights[c], widths[c], 64), np.int16)
+              for c in range(ncomp)]
+    for s_i, rowmap in enumerate(lane_rowmap):
+        for comp, y, fi0 in rowmap:
+            W = widths[comp]
+            planes[comp][y, :W] = coef_np[s_i, fi0:fi0 + W]
+    return planes, np.asarray(err).astype(bool)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret):
+    """jit-wrapped pallas_call per static geometry: tracing the (large)
+    kernel costs seconds in Python, so it must happen once per shape,
+    not per call."""
     kernel = _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -804,7 +831,7 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
             pltpu.VMEM((ncomp * Wmax, LANES), jnp.int32),      # rings
         ],
     )
-    coef, err = pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
@@ -812,18 +839,4 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
             jax.ShapeDtypeStruct((S,), jnp.int32),
         ),
         interpret=interpret,
-    )(jnp.asarray(luts), jnp.asarray(meta),
-      jnp.asarray(rowdesc.reshape(S * Tmax, LANES)),
-      jnp.asarray(data.reshape(S * Lrows, LANES)),
-      jnp.asarray(q88), jnp.asarray(qflat), jnp.asarray(icxT),
-      jnp.asarray(icy88), jnp.asarray(mnt))
-
-    coef_np = np.asarray(coef).reshape(S, n_flat, LANES)[:, :, :64] \
-        .astype(np.int16)
-    planes = [np.zeros((heights[c], widths[c], 64), np.int16)
-              for c in range(ncomp)]
-    for s_i, rowmap in enumerate(lane_rowmap):
-        for comp, y, fi0 in rowmap:
-            W = widths[comp]
-            planes[comp][y, :W] = coef_np[s_i, fi0:fi0 + W]
-    return planes, np.asarray(err).astype(bool)
+    ))

@@ -66,3 +66,34 @@ def inject_syscall() -> int:
     """Issue a jail-banned syscall (fault injection, -injectsyscall=)."""
     from .._native import get_lib
     return int(get_lib().lepton_inject_syscall())
+
+
+def inject_syscall_mmap() -> int:
+    """Issue a direct anonymous mmap (-injectsyscall=5): banned by the
+    stage-2 memory filter."""
+    from .._native import get_lib
+    return int(get_lib().lepton_inject_syscall_mmap())
+
+
+def prejail_heap(max_bytes: int) -> bool:
+    """Pre-grow and pin the allocator heap so a stage-2-jailed transcode
+    never asks the kernel for memory (the reference preallocates its
+    arena for the same reason, MemMgrAllocator.cc:159)."""
+    try:
+        from .._native import get_lib
+        lib = get_lib()
+        return lib.lepton_prejail_heap(ctypes.c_int64(max_bytes)) == 0
+    except Exception:
+        return False
+
+
+def install_jail_stage2() -> bool:
+    """Second-stage seccomp filter dropping brk/mmap/mremap (KILL).
+    Only meaningful after prejail_heap and with PYTHONMALLOC=malloc (the
+    launcher re-execs to set it); composes with the stage-1 allowlist.
+    Banned-memory-syscall fault injection: -injectsyscall=5."""
+    try:
+        from .._native import get_lib
+        return get_lib().lepton_install_jail_stage2() == 0
+    except Exception:
+        return False

@@ -63,6 +63,21 @@ def test_injectsyscall_killed(tmp_path, point):
 
 
 @jail
+def test_injectsyscall_mmap_killed_stage2(tmp_path):
+    """The stage-2 memory filter (brk/mmap/mremap -> KILL after the heap
+    is pre-grown) must kill a direct mmap (-injectsyscall=5): the
+    preallocate-then-strict-filter shape of MemMgrAllocator.cc:159 +
+    Seccomp.cc:67-138."""
+    src = os.path.join(IMAGES, "nofsync.jpg")
+    lep = str(tmp_path / "x.lep")
+    r = _run(["-injectsyscall=5", src, lep])
+    assert r.returncode == -signal.SIGSYS or r.returncode == 159
+    assert os.path.getsize(lep) == 0
+    # and without injection the stage-2-jailed transcode still works
+    assert _run([src, lep]).returncode == 0
+
+
+@jail
 def test_injectsyscall_survives_unjailed(tmp_path):
     src = os.path.join(IMAGES, "nofsync.jpg")
     r = _run(["-unjailed", "-injectsyscall=1", src, str(tmp_path / "x.lep")])

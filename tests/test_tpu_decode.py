@@ -100,6 +100,16 @@ def test_decompress_tpu_multisegment():
     assert decompress_tpu(lep) == decompress(lep)
 
 
+def test_decompress_tpu_progressive():
+    """Mode-X container: identical token layer on the kernel, host
+    progressive re-emit (vp8_decoder.cc:388 + recode_jpeg)."""
+    data = open(os.path.join(IMAGES, "androidprogressive.jpg"),
+                "rb").read()
+    lep = compress(data, allow_progressive=True, min_threads=2)
+    assert decompress_tpu(lep) == data
+    assert decompress_tpu(lep) == decompress(lep)
+
+
 @pytest.mark.skipif(not SLOW, reason="set LEPTON_SLOW_TESTS=1 (about "
                     "3 min on 1 vCPU; the round driver runs it on TPU)")
 def test_iphone16_golden_tpu():
