@@ -234,11 +234,16 @@ _COMPACT_OUT = None
 
 def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
                            component_sizes, splits_y, color_index=None,
-                           window: int = 32):
+                           window: int = 32, segment_range=None):
     """Whole-image on-device encode: symbolize + assemble + phase-B.
 
     Returns (streams list of bytes per segment) ready for mux_streams --
     the VPX v1/v2 path with marker/stop framing applied on-device.
+
+    segment_range=(lo, hi): restrict assembly + phase-B to that
+    contiguous slice of segments (the multi-host per-process share);
+    symbolization still covers the whole plane (it is segment-agnostic
+    except for the masked top rows, which depend only on splits_y).
     """
     import os
     import time as _time
@@ -319,6 +324,11 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
         dst += 32
         seg_runs.append(runs)
         seg_total[s] = dst
+    if segment_range is not None:
+        lo, hi = segment_range
+        seg_runs = seg_runs[lo:hi]
+        seg_total = seg_total[lo:hi]
+        S = hi - lo
     Lmax = _bucket(int(seg_total.max()), 1 << 14)
     Rmax = max(len(r) for r in seg_runs)
     run_dst = np.zeros((S, Rmax), np.int64)
@@ -397,6 +407,15 @@ def encode_images_device(images, window: int = 32):
     from . import vpx_scan
     from .vpx_scan import FIXED_PROB, PAD
 
+    prof = os.environ.get("LEPTON_TPU_PROFILE") == "1"
+    _t = [_time.time()]
+
+    def mark(label):
+        if prof:
+            now = _time.time()
+            print(f"  [tpu-batch] {label}: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     # group same-geometry/same-qtable images so symbolization runs as ONE
     # vmapped dispatch per (group, component) and compaction as one call
     # over the stacked slabs (per-image dispatches dominate batch latency
@@ -445,15 +464,23 @@ def encode_images_device(images, window: int = 32):
                     for y in tops[c]:
                         rha[g, y] = False
                     csv[g] = images[d]["component_sizes"][c]
+                mark(f"host-prep g{len(packed_parts)}")
+                coefs_dev = jnp.asarray(coefs)
+                if prof:
+                    np.asarray(coefs_dev[0, 0, 0, 0])  # forced fetch:
+                    # block_until_ready does not block through axon
+                    mark(f"coef-transfer {coefs.nbytes >> 20}MB")
                 idx, bit = _vmapped_symbolize(ci, icx, icy, mnt)(
-                    jnp.asarray(coefs), quant, jnp.asarray(rha),
+                    coefs_dev, quant, jnp.asarray(rha),
                     jnp.asarray(csv))
                 counts = np.asarray(jax.vmap(row_symbol_counts)(idx))
+                mark("symbolize+counts")
                 total = int(counts.sum())
                 pk, _ = compact_symbols_packed(
                     idx.reshape(-1), bit.reshape(-1),
                     _bucket(max(total, 1)))
                 packed_parts.append(pk)
+                mark("compact")
                 flat_off = np.zeros(len(part) * H + 1, np.int64)
                 flat_off[1:] = np.cumsum(counts.reshape(-1))
                 for g, d in enumerate(part):
@@ -496,17 +523,25 @@ def encode_images_device(images, window: int = 32):
             run_off[s_i, r] = src0 - dst0
             run_valid[s_i, r] = True
 
+    mark("run-plan")
     oi, ob = _assemble_jit()(packed, jnp.asarray(run_dst),
                              jnp.asarray(run_off), jnp.asarray(run_valid),
                              jnp.asarray(np.asarray(lane_total, np.int64)),
                              Lmax)
+    if prof:
+        np.asarray(ob[0, 0])
+        mark(f"assemble S={S} Lmax={Lmax}")
     emit, byte, carry, nbytes = vpx_scan.encode_streams_twopass(
         oi, ob, window=window)
+    if prof:
+        np.asarray(nbytes[0])
+        mark("phase-B")
     b2, c2 = _compact_out_jit()(emit, byte, carry)
     nb = np.asarray(nbytes)
     maxb = _bucket(int(nb.max()) + 1, 1 << 12)
     bh = np.asarray(b2[:, :maxb])
     ch = np.asarray(c2[:, :maxb])
+    mark(f"output-fetch {S}x{maxb}")
 
     out = [[] for _ in images]
     for s_i in range(S):

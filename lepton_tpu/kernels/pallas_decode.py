@@ -702,11 +702,17 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
     list of int16 [H_c, W_c, 64], err bool [S])."""
     from .encode_pipeline import plan_rows
 
+    def _bucket(v, q):
+        """Round block dims up: Mosaic requires 8-divisible sublane
+        block shapes, and coarse buckets keep the per-geometry compile
+        cache small (compiles cost minutes through the tunnel)."""
+        return (v + q - 1) // q * q
+
     ncomp = len(plane_shapes)
     S = len(streams)
     heights = [h for h, _ in plane_shapes]
     widths = [w for _, w in plane_shapes]
-    Wmax = max(widths)
+    Wmax = _bucket(max(widths), 64)
     plans = plan_rows(heights, mcuv, max_coded_heights, splits_y)
     assert len(plans) == S, (len(plans), S)
 
@@ -717,7 +723,7 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
             per[comp] = per.get(comp, 0) + 1
         if per:
             max_comp_rows = max(max_comp_rows, max(per.values()))
-    n_flat = ncomp * max_comp_rows * Wmax
+    n_flat = _bucket(ncomp * max_comp_rows * Wmax, 512)
 
     # per-lane row descriptors (the same geometry as the XLA wrapper's
     # per-block lists, lifted to row granularity for the in-kernel loop)
@@ -741,7 +747,7 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
         lane_rows.append(rows)
         lane_rowmap.append(rowmap)
 
-    Tmax = max(1, max(len(r) for r in lane_rows))
+    Tmax = _bucket(max(1, max(len(r) for r in lane_rows)), 64)
     rowdesc = np.zeros((S, Tmax, LANES), np.int32)
     meta = np.zeros((S, 8), np.int32)
     for s_i, rows in enumerate(lane_rows):
@@ -750,7 +756,7 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
             rowdesc[s_i, t, :5] = f
 
     Lmax = max(1, max(len(b) for b in streams))
-    Lrows = (Lmax + LANES - 1) // LANES
+    Lrows = _bucket((Lmax + LANES - 1) // LANES, 64)
     data = np.zeros((S, Lrows, LANES), np.int32)
     for s_i, b in enumerate(streams):
         arr = np.frombuffer(b, np.uint8).astype(np.int32)
@@ -838,5 +844,9 @@ def _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret):
             jax.ShapeDtypeStruct((S * n_flat, LANES), jnp.int32),
             jax.ShapeDtypeStruct((S,), jnp.int32),
         ),
+        # the v5e has 128MB VMEM; the default 16MB scoped limit is far
+        # below the resident arena + coefficient slab design point
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     ))

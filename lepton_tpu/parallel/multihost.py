@@ -67,12 +67,18 @@ def gather_streams_to_host0(streams: List[bytes]) -> Optional[List[bytes]]:
     return out
 
 
-def distributed_compress(jpeg_data: bytes, num_segments: int = 8) -> bytes:
+def distributed_compress(jpeg_data: bytes, num_segments: int = 8,
+                         engine: str = "device") -> bytes:
     """Cooperative encode: each process encodes its contiguous share of
     thread-segments, streams gather to every process, and the container
     is assembled identically everywhere (host 0 typically writes it).
 
-    Byte-identical to the single-process encoder with the same splits.
+    engine="device" (default) runs each process's share through the
+    accelerator kernels (device symbolization + lane-parallel phase-B,
+    kernels/encode_pipeline) -- each host feeds its own chip(s) and only
+    the finished byte streams cross DCN.  engine="host" keeps the C
+    segment codec (the mechanics gate).  Byte-identical to the
+    single-process encoder with the same splits either way.
     """
     import jax
 
@@ -95,20 +101,35 @@ def distributed_compress(jpeg_data: bytes, num_segments: int = 8) -> bytes:
     hi = S * (pid + 1) // nproc
 
     mh, cs = _truncation_geometry(info, dec)
-    native = _native_image(info, dec.planes, mh, cs)
-    local = []
-    for i in range(lo, hi):
-        if native is not None:
-            local.append(native.encode_segment(
-                bounds[i], bounds[i + 1], i == S - 1))
-        else:
-            from ..codec.driver import ImageData, encode_segment
-            from ..model.context import ColorTables
-            colors = [ColorTables(info.qtables[info.cmpnfo[c].qtable_index])
-                      for c in range(info.cmpc)]
-            img = ImageData(list(dec.planes), colors, info.mcuv, mh, cs)
-            local.append(encode_segment(
-                img, bounds[i], bounds[i + 1], i == S - 1))
+    if engine == "device":
+        # device symbolization covers the whole plane (cheap, data-
+        # parallel); assembly + phase-B run only this process's lanes
+        from ..model.context import ColorTables
+        from ..kernels.encode_pipeline import symbolize_image_device
+        colors = [ColorTables(info.qtables[info.cmpnfo[c].qtable_index])
+                  for c in range(info.cmpc)]
+        local = symbolize_image_device(
+            list(dec.planes), colors, info.mcuv, mh, cs,
+            [th.luma_y_start for th in splits],
+            color_index=(lambda c: 0 if c == 0 else 1),
+            segment_range=(lo, hi))
+    else:
+        native = _native_image(info, dec.planes, mh, cs)
+        local = []
+        for i in range(lo, hi):
+            if native is not None:
+                local.append(native.encode_segment(
+                    bounds[i], bounds[i + 1], i == S - 1))
+            else:
+                from ..codec.driver import ImageData, encode_segment
+                from ..model.context import ColorTables
+                colors = [ColorTables(
+                    info.qtables[info.cmpnfo[c].qtable_index])
+                    for c in range(info.cmpc)]
+                img = ImageData(list(dec.planes), colors, info.mcuv,
+                                mh, cs)
+                local.append(encode_segment(
+                    img, bounds[i], bounds[i + 1], i == S - 1))
 
     streams = gather_streams_to_host0(local)
 
