@@ -231,17 +231,18 @@ def bench_tpu_phase_a():
 
         fn = jax.jit(lambda c: K.phase_a(c, quant, icx, icy))
         out = fn(coefs)
-        jax.block_until_ready(out)
+        np.asarray(out["dc_pred"][0, 0])   # forced fetch: block_until_
+        # ready does NOT block through the axon tunnel (measured r3)
         # fresh device-resident inputs each rep: defeats any transport-level
         # result caching and excludes host->device transfer from the timing
         bump = jax.jit(lambda x, k: (x + k).astype(x.dtype))
         reps = 5
         xs = [bump(coefs, k + 1) for k in range(reps)]
-        jax.block_until_ready(xs)
+        np.asarray(xs[-1][0, 0, 0])
         t0 = time.perf_counter()
         for x in xs:
             out = fn(x)
-        jax.block_until_ready(out)
+        np.asarray(out["dc_pred"][0, 0])
         dt = (time.perf_counter() - t0) / reps
         nblocks = coefs.shape[0] * coefs.shape[1]
         return dict(
@@ -348,45 +349,84 @@ def bench_tpu_e2e_encode():
 
 
 def bench_tpu_decode():
-    """Lane-parallel token decoder (kernels/vpx_decode): decode a
-    4-segment container with the JAX kernel, verify bit-exactness,
-    report block throughput (second call: compile excluded).
+    """Token decode ON SILICON (kernels/pallas_decode: Mosaic block
+    decoder, VMEM-resident model, one grid step per segment) -- decode a
+    4-segment container on the real chip, verify bit-exactness against
+    the host decoder, report honest throughput.
 
-    Runs on the CPU backend in a subprocess: the packed-state scan is
-    correct and fast under XLA:CPU (and on the virtual mesh), but
-    XLA:TPU currently compiles it O(steps) and serializes its per-read
-    scatters -- the real-chip decode path is the documented open item
-    (NEXT_STEPS.md), and crashing the shared TPU worker from the bench
-    would poison the other submetrics."""
+    Measured design envelope (r3 probes, tools + NEXT_STEPS): a
+    dependent one-hot VMEM RMW chain sustains ~6M branch accesses/s and
+    interleaving independent chains does not scale (K=4 -> 1.15x), so
+    adaptive-arithmetic DECODE is latency-bound on the VPU and loses to
+    the serial host C decoder by design; this submetric exists to keep
+    the silicon path honest, not to win."""
     try:
-        import subprocess
-        import sys as _sys
-        import json as _json
-        code = r"""
-import json, sys, time
-sys.path.insert(0, %(repo)r)
-import jax
-jax.config.update("jax_platforms", "cpu")
-from lepton_tpu.api import compress, decompress_tpu
-data = open(%(path)r, "rb").read()
-lep = compress(data, min_threads=4)
-out = decompress_tpu(lep)
-assert out == data
-t0 = time.perf_counter()
-out = decompress_tpu(lep)
-dt = time.perf_counter() - t0
-nblocks = 126 * 86 + 2 * 63 * 43
-print(json.dumps(dict(backend="cpu (see NEXT_STEPS: XLA:TPU lowering)",
-                      segments=4, blocks=nblocks,
-                      decode_kblocks_per_s=round(nblocks / dt / 1e3, 2),
-                      bit_exact=True)))
-""" % dict(repo=os.path.dirname(os.path.abspath(__file__)),
-           path=os.path.join(IMAGES_DIR, "androidcrop.jpg"))
-        r = subprocess.run([_sys.executable, "-c", code],
-                           capture_output=True, text=True, timeout=900)
-        if r.returncode != 0:
-            return dict(error=r.stderr[-200:])
-        return _json.loads(r.stdout.strip().splitlines()[-1])
+        import jax
+        from lepton_tpu.api import compress, decompress_tpu
+
+        path = os.path.join(IMAGES_DIR, "androidcrop.jpg")
+        data = open(path, "rb").read()
+        lep = compress(data, min_threads=4)
+        backend = jax.devices()[0].platform
+        out = decompress_tpu(lep)          # backend="auto": pallas on tpu
+        assert out == data
+        best = 1e18
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = decompress_tpu(lep)
+            best = min(best, time.perf_counter() - t0)
+        assert out == data
+        nblocks = 126 * 86 + 2 * 63 * 43
+        comp_bits = 8 * len(lep)
+        return dict(backend=backend,
+                    kernel="pallas" if backend == "tpu" else "xla",
+                    segments=4, blocks=nblocks,
+                    decode_s=round(best, 2),
+                    decode_kblocks_per_s=round(nblocks / best / 1e3, 2),
+                    decode_kbit_per_s=round(comp_bits / best / 1e3, 1),
+                    bit_exact=True)
+    except Exception as e:
+        return dict(error=repr(e)[:200])
+
+
+def bench_tpu_batch_encode():
+    """THE chip-throughput headline (SURVEY.md section 6): the whole
+    corpus batch-encoded in one batch_compress_tpu call -- every image's
+    segments are coder lanes of one phase-B invocation.  Reports warm
+    wall-clock MB/s/chip and verifies every container byte-identical to
+    the host encoder and bit-exact on roundtrip."""
+    try:
+        import jax
+        from lepton_tpu.api import batch_compress_tpu, compress, decompress
+
+        blobs, names = [], []
+        for name in CORPUS:
+            path = os.path.join(IMAGES_DIR, name)
+            if os.path.exists(path):
+                blobs.append(open(path, "rb").read())
+                names.append(name)
+        mb = sum(len(b) for b in blobs) / 1e6
+        t0 = time.perf_counter()
+        outs = batch_compress_tpu(blobs, num_segments=16,
+                                  allow_progressive=True)
+        cold = time.perf_counter() - t0
+        best = 1e18
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = batch_compress_tpu(blobs, num_segments=16,
+                                      allow_progressive=True)
+            best = min(best, time.perf_counter() - t0)
+        mismatch = []
+        for name, b, o in zip(names, blobs, outs):
+            if decompress(o) != b:
+                mismatch.append(name + ":roundtrip")
+            if o != compress(b, max_threads=16, allow_progressive=True):
+                mismatch.append(name + ":bytes")
+        return dict(backend=jax.devices()[0].platform,
+                    files=len(blobs), corpus_mb=round(mb, 1),
+                    cold_s=round(cold, 1), warm_s=round(best, 1),
+                    encode_mbps=round(mb / best, 2),
+                    byte_identical=not mismatch, mismatches=mismatch)
     except Exception as e:
         return dict(error=repr(e)[:200])
 
@@ -399,6 +439,7 @@ def main():
     tpu = bench_tpu_phase_a()
     tpu_b = bench_tpu_phase_b()
     tpu_e = bench_tpu_e2e_encode()
+    tpu_be = bench_tpu_batch_encode()
     tpu_d = bench_tpu_decode()
     value = host["roundtrip_mbps"]
     baseline = ref_live if ref_live else REFERENCE_ROUNDTRIP_MBPS
@@ -415,7 +456,15 @@ def main():
         "ans_v3": ans,
         "tpu_phase_a": tpu,
         "tpu_phase_b": tpu_b,
+        # lane-scaling study (tools/phaseb_scaling.py, measured on the
+        # v5e 2026-08-17, marginal Msym/s at W=16..32): S=128 -> ~180,
+        # S=512 -> ~300, S=2048 -> ~500, S=8192 -> ~620 (knee ~2-8k
+        # lanes; the 1-vCPU C coder is ~140 Msym/s)
+        "tpu_phase_b_scaling": {"S128": 182, "S512": 300, "S2048": 503,
+                                "S8192": 622, "unit": "Msym/s marginal",
+                                "source": "tools/phaseb_scaling.py"},
         "tpu_e2e_encode": tpu_e,
+        "tpu_batch_encode": tpu_be,
         "tpu_decode": tpu_d,
     }
     print(json.dumps(result))

@@ -232,6 +232,25 @@ def _compact_out_jit():
 _COMPACT_OUT = None
 
 
+def _pack_u16_jit():
+    """byte | carry<<8 as uint16: one fetch, 8x less link traffic than
+    the two int32 sort outputs."""
+    global _PACK_U16
+    if _PACK_U16 is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def pack(b2, c2):
+            return (b2 | (c2 << 8)).astype(jnp.uint16)
+
+        _PACK_U16 = pack
+    return _PACK_U16
+
+
+_PACK_U16 = None
+
+
 def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
                            component_sizes, splits_y, color_index=None,
                            window: int = 32, segment_range=None):
@@ -512,50 +531,93 @@ def encode_images_device(images, window: int = 32):
             lane_total.append(dst)
             lane_owner.append((d, si))
     S = len(lane_runs)
-    Lmax = _bucket(int(max(lane_total)), 1 << 14)
-    Rmax = max(len(r) for r in lane_runs)
-    run_dst = np.zeros((S, Rmax), np.int32)
-    run_off = np.zeros((S, Rmax), np.int32)
-    run_valid = np.zeros((S, Rmax), bool)
-    for s_i, runs in enumerate(lane_runs):
-        for r, (dst0, src0, ln) in enumerate(runs):
-            run_dst[s_i, r] = dst0
-            run_off[s_i, r] = src0 - dst0
-            run_valid[s_i, r] = True
-
     mark("run-plan")
-    oi, ob = _assemble_jit()(packed, jnp.asarray(run_dst),
-                             jnp.asarray(run_off), jnp.asarray(run_valid),
-                             jnp.asarray(np.asarray(lane_total, np.int64)),
-                             Lmax)
-    if prof:
-        np.asarray(ob[0, 0])
-        mark(f"assemble S={S} Lmax={Lmax}")
-    emit, byte, carry, nbytes = vpx_scan.encode_streams_twopass(
-        oi, ob, window=window)
-    if prof:
-        np.asarray(nbytes[0])
-        mark("phase-B")
-    b2, c2 = _compact_out_jit()(emit, byte, carry)
-    nb = np.asarray(nbytes)
-    maxb = _bucket(int(nb.max()) + 1, 1 << 12)
-    bh = np.asarray(b2[:, :maxb])
-    ch = np.asarray(c2[:, :maxb])
-    mark(f"output-fetch {S}x{maxb}")
+
+    # ---- phase-B length pooling: work is S_pool * Lmax_pool, so one
+    # long lane (a big image's segment) must not pad every short lane to
+    # its length.  Lanes pool by power-of-2 padded length; lane counts
+    # pad to a multiple of 8 with dummy (marker+stop only) lanes.  Each
+    # pool runs assemble -> two-pass coder -> output compaction, and the
+    # result is fetched as ONE uint16 array (byte | carry<<8) -- 8x less
+    # link traffic than the raw int32 sort outputs.
+    pools = {}
+    for i, t in enumerate(lane_total):
+        Lb = 1 << max(14, int(t - 1).bit_length())
+        pools.setdefault(Lb, []).append(i)
+    # merge small pools upward: the coder scan runs on [W, S]-shaped
+    # vectors, so narrow lane counts waste the VPU (measured: the arith
+    # pass is ~31 Msym/s at S=16 vs ~500 at S=2048); a pool must be
+    # wide, and only the longest-lane pool may stay narrow
+    merged = []
+    acc = []
+    for Lb in sorted(pools):
+        acc.extend(pools[Lb])
+        if len(acc) >= 48:
+            merged.append((Lb, acc))
+            acc = []
+    if acc:
+        # the long-lane remainder stays its own (narrow) pool: its scan
+        # depth is irreducible, and merging short lanes upward would
+        # only inflate the sort volume
+        merged.append((sorted(pools)[-1], acc))
+
+    fetches = []
+    for Lmax, members in merged:
+        Sp = (len(members) + 7) // 8 * 8
+        Rmax = (max(len(lane_runs[i]) for i in members) + 63) // 64 * 64
+        run_dst = np.zeros((Sp, Rmax), np.int32)
+        run_off = np.zeros((Sp, Rmax), np.int32)
+        run_valid = np.zeros((Sp, Rmax), bool)
+        totals = np.zeros(Sp, np.int64)
+        for s_i, lane in enumerate(members):
+            for r, (dst0, src0, ln) in enumerate(lane_runs[lane]):
+                run_dst[s_i, r] = dst0
+                run_off[s_i, r] = src0 - dst0
+                run_valid[s_i, r] = True
+            totals[s_i] = lane_total[lane]
+        for s_i in range(len(members), Sp):     # dummy lanes: marker+stop
+            run_dst[s_i, 0] = 0
+            run_off[s_i, 0] = frame_base
+            run_valid[s_i, 0] = True
+            run_dst[s_i, 1] = 1
+            run_off[s_i, 1] = frame_base - 1
+            run_valid[s_i, 1] = True
+            totals[s_i] = 33
+        oi, ob = _assemble_jit()(packed, jnp.asarray(run_dst),
+                                 jnp.asarray(run_off),
+                                 jnp.asarray(run_valid),
+                                 jnp.asarray(totals), Lmax)
+        emit, byte, carry, nbytes = vpx_scan.encode_streams_twopass(
+            oi, ob, window=window)
+        b2, c2 = _compact_out_jit()(emit, byte, carry)
+        bc16 = _pack_u16_jit()(b2, c2)
+        fetches.append((members, bc16, nbytes))
+        if prof:
+            np.asarray(nbytes[0])
+            mark(f"pool S={Sp} Lmax={Lmax} dispatched")
 
     out = [[] for _ in images]
-    for s_i in range(S):
-        n = int(nb[s_i])
-        bs = bytearray(bh[s_i, :n].astype(np.uint8).tobytes())
-        for i in np.nonzero(ch[s_i, :n])[0]:
-            j = int(i) - 1
-            while j >= 0 and bs[j] == 0xFF:
-                bs[j] = 0
-                j -= 1
-            assert j >= 0, "carry out of stream start"
-            bs[j] += 1
-        if len(bs) and (bs[-1] & 0xE0) == 0xC0:
-            bs.append(0)
-        d, si = lane_owner[s_i]
-        out[d].append(bytes(bs))
+    results = {}
+    for members, bc16, nbytes in fetches:
+        nb = np.asarray(nbytes)
+        maxb = _bucket(int(nb[:len(members)].max()) + 1, 1 << 12)
+        bch = np.asarray(bc16[:, :maxb])
+        mark(f"output-fetch {len(members)}x{maxb}")
+        for s_i, lane in enumerate(members):
+            n = int(nb[s_i])
+            row = bch[s_i, :n]
+            bs = bytearray((row & 0xFF).astype(np.uint8).tobytes())
+            for i in np.nonzero(row >> 8)[0]:
+                j = int(i) - 1
+                while j >= 0 and bs[j] == 0xFF:
+                    bs[j] = 0
+                    j -= 1
+                assert j >= 0, "carry out of stream start"
+                bs[j] += 1
+            if len(bs) and (bs[-1] & 0xE0) == 0xC0:
+                bs.append(0)
+            results[lane] = bytes(bs)
+    for lane in range(S):
+        d, si = lane_owner[lane]
+        out[d].append(results[lane])
     return out
