@@ -110,6 +110,15 @@ def _warm_pool() -> None:
         f.result()
 
 
+def _mark_enc(i, enc, job):
+    """Per-thread ARITH stage edges (the reference's 20-stage x 8-thread
+    timing matrix records each worker's span, jpgcoder.hh:25-56)."""
+    timing.mark("TS_ARITH_STARTED", thread=min(i, 7))
+    r = enc(*job)
+    timing.mark("TS_ARITH_FINISHED", thread=min(i, 7))
+    return r
+
+
 def _parallel_map(fn, jobs):
     """Thread-pool map for GIL-dropping native segment calls.
 
@@ -270,9 +279,13 @@ def compress(jpeg_data: bytes, max_threads: int = 8,
             f.seek(0)
             f.write(_native.thread_arena_snapshot().tobytes())
             f.flush()
-            streams = [first] + _parallel_map(lambda j: enc(*j), jobs[1:])
+            streams = [first] + _parallel_map(
+                lambda ij: _mark_enc(ij[0] + 1, enc, ij[1]),
+                list(enumerate(jobs[1:])))
         else:
-            streams = _parallel_map(lambda j: enc(*j), jobs)
+            streams = _parallel_map(
+                lambda ij: _mark_enc(ij[0], enc, ij[1]),
+                list(enumerate(jobs)))
     else:
         streams = [encode_segment(image, *j, ans=ans) for j in jobs]
     timing.mark("TS_ARITH_FINISHED")
@@ -356,7 +369,15 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
     if native is not None:
         # each segment decodes a disjoint row range of the shared planes
         dec_fn = native.decode_segment_ans if ans else native.decode_segment
-        _parallel_map(lambda j: dec_fn(*j), jobs)
+
+        def _dec_one(ij):
+            i, j = ij
+            timing.mark("TS_ARITH_STARTED", thread=min(i, 7))
+            r = dec_fn(*j)
+            timing.mark("TS_ARITH_FINISHED", thread=min(i, 7))
+            return r
+
+        _parallel_map(_dec_one, list(enumerate(jobs)))
     else:
         for j in jobs:
             decode_segment(image, *j, ans=ans)

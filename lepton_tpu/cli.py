@@ -150,10 +150,12 @@ def main(argv=None) -> int:
                      "-unkillable", "-hugepages", "-verbose",
                      "-avx2upgrade"):
             pass  # accepted for compatibility (jpgcoder.cc ignores these)
-        elif arg.startswith("-listenbacklog=") or \
-                arg.startswith("-benchreps=") or \
-                arg.startswith("-benchthreads="):
-            pass  # accepted for compatibility (bench uses bench.py)
+        elif arg.startswith("-listenbacklog="):
+            pass  # accepted for compatibility
+        elif arg.startswith("-benchreps="):
+            opts["benchreps"] = int(arg.split("=", 1)[1])
+        elif arg.startswith("-benchthreads="):
+            opts["benchthreads"] = int(arg.split("=", 1)[1])
         elif arg.startswith("-injectsyscall="):
             opts["injectsyscall"] = int(arg.split("=", 1)[1])
         elif arg.startswith("-maxencodethreads="):
@@ -213,7 +215,7 @@ def main(argv=None) -> int:
         elif arg == "-info":
             opts["info"] = True
         elif arg == "-benchmark":
-            return _benchmark()
+            opts["benchmark"] = True
         elif arg.startswith("-"):
             _err(f"unknown flag {arg} (ignored)")
         else:
@@ -221,6 +223,10 @@ def main(argv=None) -> int:
 
     if opts["singlethread"]:
         opts["max_threads"] = opts["min_threads"] = 1
+
+    if opts.get("benchmark"):
+        return _benchmark(files, reps=opts.get("benchreps", 10),
+                          bench_threads=opts.get("benchthreads", 1))
 
     if opts.get("fork"):
         from .serve import fork_serve
@@ -404,6 +410,10 @@ def _prepare_for_jail(opts) -> None:
         api._warm_pool()     # thread stacks must exist before stage 2
     except Exception:
         pass
+    # the warm-up roundtrip stamped the first-write-wins timing matrix;
+    # drop its events so -timing= records the real transcode
+    from .util import timing
+    timing.reset()
 
 
 def _print_bill(jpeg_data: bytes, lep_data: bytes) -> None:
@@ -649,11 +659,59 @@ def _lepcat(files) -> int:
     return 0
 
 
-def _benchmark() -> int:
-    import subprocess
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r = subprocess.run([sys.executable, os.path.join(repo_root, "bench.py")])
-    return r.returncode
+def _benchmark(files=None, reps: int = 10, bench_threads: int = 1) -> int:
+    """Reference -benchmark semantics (benchmark.cc:66-263): fork
+    `bench_threads` parallel codecs, each roundtripping the input
+    `reps` times with an md5 gate, and report aggregate bytes/sec
+    (g_benchmark_throughput_bytes_per_second).  With no input file the
+    embedded tiny JPEG is used (smalljpg.hh equivalent)."""
+    import hashlib
+    import time as _time
+    from .api import _BASIC_HEADER, compress, compress_any, decompress
+
+    if files:
+        data = open(files[0], "rb").read()
+    else:
+        data = b"\xff\xd8" + _BASIC_HEADER + b"\xff\xd9"
+    want = hashlib.md5(data).hexdigest()
+
+    def one_worker() -> int:
+        for _ in range(reps):
+            lep = compress(data)
+            out = decompress(lep)
+            if hashlib.md5(out).hexdigest() != want:
+                return 1
+        return 0
+
+    # warm (imports, .so load) outside the timed region, like the
+    # reference's preload
+    compress_any(data, verify=True)
+    t0 = _time.perf_counter()
+    if bench_threads <= 1:
+        rc = one_worker()
+        if rc:
+            _err("benchmark md5 mismatch")
+            return 1
+    else:
+        pids = []
+        for _ in range(bench_threads):
+            pid = os.fork()
+            if pid == 0:
+                os._exit(one_worker())
+            pids.append(pid)
+        bad = 0
+        for pid in pids:
+            _, status = os.waitpid(pid, 0)
+            bad |= os.waitstatus_to_exitcode(status)
+        if bad:
+            _err("benchmark md5 mismatch in a forked codec")
+            return 1
+    dt = _time.perf_counter() - t0
+    total = len(data) * reps * max(bench_threads, 1)
+    _err(f"benchmark: {total} bytes in {dt:.3f}s over "
+         f"{bench_threads} codec(s) x {reps} reps")
+    _err(f"throughput: {total / dt:.0f} bytes/sec")
+    return 0
 
 
 if __name__ == "__main__":

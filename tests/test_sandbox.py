@@ -84,6 +84,32 @@ def test_injectsyscall_survives_unjailed(tmp_path):
     assert r.returncode == 0
 
 
+def test_membound_calibrated():
+    """The decompression memory-bound oracle must bound the decode's
+    actual peak allocation (measured via tracemalloc, which traces
+    numpy buffers) -- the constants are calibrated, not guessed
+    (reference decompression_memory_bound, jpgcoder.cc:1236-1316)."""
+    import tracemalloc
+    from lepton_tpu.api import (compress, decompress_streaming,
+                                image_info_from_header, read_container)
+    from lepton_tpu.util.membound import decompression_memory_bound
+
+    for name in ("androidcrop.jpg", "narrowrst.jpg"):
+        data = open(os.path.join(IMAGES, name), "rb").read()
+        lep = compress(data, min_threads=2)
+        hdr, _ = read_container(lep)
+        info = image_info_from_header(hdr.hdrdata, allow_34=True)
+        bound = decompression_memory_bound(
+            info, hdr.num_threads, hdr.original_size, streaming=True)
+        decompress_streaming(lep)            # warm lazy inits
+        tracemalloc.start()
+        out = decompress_streaming(lep)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert out == data
+        assert peak <= bound, (name, peak, bound)
+
+
 def test_exit_code_parity(tmp_path):
     """Exit codes match the reference vocabulary (memory.hh:13-40)."""
     out = str(tmp_path / "o.lep")
@@ -137,6 +163,39 @@ def test_timing_log_survives_jail(tmp_path):
     assert r.returncode == 0, (r.returncode, r.stderr)
     assert os.path.getsize(lep) > 0
     assert os.path.exists(log) and os.path.getsize(log) > 0
+
+
+def test_timing_matrix_per_thread(tmp_path):
+    """-timing= emits the reference's per-(stage, thread) timestamp
+    matrix (jpgcoder.hh:25-56 TimingHarness::print_results): each
+    worker's ARITH span appears under its own thread index."""
+    src = os.path.join(IMAGES, "iphone.jpg")  # 8-segment encode
+    lep = str(tmp_path / "t.lep")
+    log = str(tmp_path / "timing.log")
+    r = _run([f"-timing={log}", "-unjailed", src, lep])
+    assert r.returncode == 0, (r.returncode, r.stderr)
+    text = open(log).read()
+    rows = [ln.split("\t") for ln in text.splitlines() if "\t" in ln]
+    cells = {(name, th) for name, th, _ in rows}
+    assert ("TS_ARITH_STARTED", "(0)") in cells, text
+    assert ("TS_ARITH_FINISHED", "(0)") in cells, text
+    # multi-segment encode: at least one worker beyond thread 0
+    threads = {th for name, th in cells if name == "TS_ARITH_STARTED"}
+    assert len(threads) >= 2, text
+
+
+def test_cli_benchmark_reference_semantics(tmp_path):
+    """-benchmark honors -benchreps/-benchthreads (benchmark.cc:66-263):
+    forked codecs each roundtrip the input reps times behind an md5
+    gate and an aggregate bytes/sec line is reported."""
+    src = os.path.join(IMAGES, "nofsync.jpg")
+    r = _run(["-benchmark", "-benchreps=2", "-benchthreads=2", src])
+    assert r.returncode == 0, (r.returncode, r.stderr)
+    err = r.stderr.decode()
+    assert "throughput:" in err and "bytes/sec" in err, err
+    # no input file: embedded tiny JPEG is used (smalljpg.hh equivalent)
+    r = _run(["-benchmark", "-benchreps=1"])
+    assert r.returncode == 0, (r.returncode, r.stderr)
 
 
 @jail
