@@ -410,8 +410,10 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
     XLA:CPU, used by the virtual-mesh tests), or "auto" (pallas on a real
     TPU platform, xla elsewhere).
 
-    Covers mode-Z v1/v2 containers (the TPU kernel is the baseline token
-    parser); v3/ANS and progressive fall back to the host decoder.
+    Covers mode-Z/X containers in v1/v2 (VPX boolcoder) and v3 (rANS:
+    the same token state machine over make_read_ans, the forward
+    two-state rANS reader with the adv-model update rule).  Only mode Y
+    (-startbyte slices) falls back to the host decoder.
     """
     if os.environ.get("LEPTON_COMPRESSION_MODEL"):
         # the TPU kernel initializes the identity (1,1,128) arena; a
@@ -421,10 +423,20 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
     from . import _configure_jax_cache
     _configure_jax_cache()
     hdr, mux_region = read_container(lep_data)
-    if hdr.version == 3 or hdr.mode not in (ord("Z"), ord("X")):
-        # mode Y (-startbyte slices) keeps the host decoder; v3/ANS is
-        # decoded by the same kernels once the ANS reader lands
+    if hdr.mode not in (ord("Z"), ord("X")):
+        # mode Y (-startbyte slices) keeps the host decoder
         return decompress(lep_data)
+    coder = "ans" if hdr.version == 3 else "vpx"
+    if coder == "ans" and backend != "xla":
+        # the Mosaic kernel implements the VPX reader only; on real
+        # silicon the XLA scan formulation is not viable (per-read
+        # scatters serialize, NEXT_STEPS), so v3 takes the host decoder
+        # there; the XLA kernel covers v3 on the CPU backend and the
+        # virtual mesh (tests/test_tpu_decode.py, backend="xla")
+        import jax
+        if mesh is None and jax.devices()[0].platform == "tpu":
+            return decompress(lep_data)
+        backend = "xla"
     info = image_info_from_header(hdr.hdrdata, allow_34=True)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
 
@@ -464,7 +476,7 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
         planes, err = decode_segments_tpu(
             streams, shapes, colors, info.mcuv, max_heights, comp_sizes,
             splits_y, color_index=(lambda c: 0 if c == 0 else 1),
-            mesh=mesh)
+            mesh=mesh, coder=coder)
     if err.any():
         raise LeptonError("lepton stream inconsistent (TPU decode)")
 

@@ -72,9 +72,11 @@ R_POS = ARENA_SIZE + 3
 REG_BIT = ARENA_SIZE + 4
 FIXED128 = ARENA_SIZE + 5
 REG_ERR = ARENA_SIZE + 6
-NSLOT = ARENA_SIZE + 7
+R_AUX = ARENA_SIZE + 7     # ANS reader only: word cursor
+NSLOT = ARENA_SIZE + 8
 
 _PLUT_NP = None
+_PLUT_ADV_NP = None
 
 
 def _packed_lut():
@@ -89,6 +91,18 @@ def _packed_lut():
     return _PLUT_NP
 
 
+def _packed_lut_adv():
+    """Packed transition LUT for the ANS backend's update rule
+    (Branch::adv_record_obs_and_update, branch.hh:66-80)."""
+    global _PLUT_ADV_NP
+    if _PLUT_ADV_NP is None:
+        from ..model.branch import next_state_lut_adv
+        lut = next_state_lut_adv().astype(np.uint32)
+        _PLUT_ADV_NP = ((lut[..., 0] << 16) | (lut[..., 1] << 8)
+                        | lut[..., 2]).reshape(-1)
+    return _PLUT_ADV_NP
+
+
 def state_init(num_lanes: int):
     """Fresh per-lane state: identity arena (1,1,128), reader registers
     at vpx_reader_init values."""
@@ -101,7 +115,108 @@ def state_init(num_lanes: int):
     buf = buf.at[:, REG_BIT].set(0)
     buf = buf.at[:, FIXED128].set(128)
     buf = buf.at[:, REG_ERR].set(0)
+    buf = buf.at[:, R_AUX].set(0)
     return buf
+
+
+def state_init_ans(words: jnp.ndarray):
+    """Fresh per-lane state for the ANS (v3) reader: identity arena and
+    the two interleaved rANS states pre-loaded from the stream head
+    (ans_bool_reader.hh init: r0 = words[0] | words[1]<<32,
+    r1 = words[2] | words[3]<<32, cursor at word 4).
+
+    Register mapping over the shared slot layout:
+      R_VALUE = r0_hi, R_RANGE = r0_lo, R_COUNT = r1_hi, R_POS = r1_lo,
+      R_AUX = word cursor.
+    words: uint32 [S, W] little-endian stream words (zero-padded)."""
+    S = words.shape[0]
+    buf = state_init(S)
+    pad = jnp.zeros((S, 4), jnp.uint32)
+    w = jnp.concatenate([words[:, :4], pad], axis=1)
+    buf = buf.at[:, R_VALUE].set(w[:, 1])
+    buf = buf.at[:, R_RANGE].set(w[:, 0])
+    buf = buf.at[:, R_COUNT].set(w[:, 3])
+    buf = buf.at[:, R_POS].set(w[:, 2])
+    buf = buf.at[:, R_AUX].set(4)
+    return buf
+
+
+def make_read_ans(lanes, words, nwords, plut_adv):
+    """Build the single-read primitive for the ANS (v3) forward reader
+    (ans_bool_reader.hh get_bit over two alternating 64-bit rANS states,
+    rans64.hh decode step).  Same packed-buffer contract as make_read:
+    one gather, one multi-slot scatter, consumers re-gather REG_BIT from
+    the post-update buffer.
+
+    64-bit state decomposed into (hi, lo) uint32 pairs (TPUs have no
+    native int64): the decode advance x' = freq*(x>>8) + cum - start
+    needs only a 41-bit product, built from 16-bit limbs; renormalization
+    shifts in one stream word (zero past EOF, matching the reference's
+    zero fill())."""
+    S = lanes.shape[0]
+    reg_cols = jnp.asarray([R_VALUE, R_RANGE, R_COUNT, R_POS, R_AUX,
+                            REG_BIT], dtype=jnp.int32)
+
+    def read(buf, idx, active, adaptive=True):
+        idx = jnp.clip(idx, 0, NSLOT - 1)
+        branch = buf[lanes, idx]                        # u32 gather
+        r0_hi = buf[:, R_VALUE]
+        r0_lo = buf[:, R_RANGE]
+        r1_hi = buf[:, R_COUNT]
+        r1_lo = buf[:, R_POS]
+        pos = _u2i(buf[:, R_AUX])
+
+        prob = (branch & 0xFF).astype(jnp.int32)
+        cum = (r0_lo & 0xFF).astype(jnp.int32)
+        ge = cum >= prob
+        bit = (ge & active).astype(jnp.int32)
+        start = jnp.where(ge, prob, 0)
+        freq = jnp.where(ge, 256 - prob, prob).astype(jnp.uint32)
+
+        # x >> 8 on the (hi, lo) pair
+        sh_lo = (r0_lo >> 8) | (r0_hi << 24)
+        sh_hi = r0_hi >> 8                              # < 2^23
+        # freq * (x>>8): 16-bit limbs (freq <= 256 so every term fits)
+        p_ll = freq * (sh_lo & 0xFFFF)                  # < 2^25
+        p_lh = freq * (sh_lo >> 16)                     # < 2^25
+        p_h = freq * sh_hi                              # < 2^31
+        addend = (cum - start).astype(jnp.uint32)       # 0..255
+        lo1 = p_ll + addend                             # < 2^26, no wrap
+        lh_shift = p_lh << 16
+        nlo = lo1 + lh_shift                            # u32 wraparound
+        carry = (nlo < lo1).astype(jnp.uint32)
+        nhi = p_h + (p_lh >> 16) + carry
+
+        # renormalize: x < RANS64_L pulls one stream word into the low
+        # half (x'' = x<<32 | word); zero word past EOF
+        renorm = active & (nhi == 0) & (nlo < jnp.uint32(1 << 31))
+        word = jnp.where(pos < nwords,
+                         words[lanes, jnp.clip(pos, 0, words.shape[1] - 1)],
+                         0)
+        x_hi = jnp.where(renorm, nlo, nhi)
+        x_lo = jnp.where(renorm, word, nlo)
+        npos = pos + renorm.astype(jnp.int32)
+
+        nb = plut_adv[((branch >> 8) << 1).astype(jnp.int32)
+                      | bit] if adaptive else branch
+        act = active
+        # alternate the pair: new r0 = old r1, new r1 = advanced x
+        upd = jnp.stack([
+            jnp.where(act, nb, branch) if adaptive else branch,
+            jnp.where(act, r1_hi, r0_hi),
+            jnp.where(act, r1_lo, r0_lo),
+            jnp.where(act, x_hi, r1_hi),
+            jnp.where(act, x_lo, r1_lo),
+            jnp.where(act, _i2u(npos), _i2u(pos)),
+            bit.astype(jnp.uint32),
+        ], axis=1)                                      # [S, 7]
+        cols = jnp.concatenate(
+            [idx[:, None],
+             jnp.broadcast_to(reg_cols[None, :], (S, 6))], axis=1)
+        buf = buf.at[lanes[:, None], cols].set(upd, unique_indices=True)
+        return buf, _u2i(buf[:, REG_BIT])
+
+    return read
 
 
 def _i2u(v):
@@ -265,7 +380,8 @@ def _bitlen(v):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("num_lanes", "n_flat", "row_stride"))
+@partial(jax.jit, static_argnames=("num_lanes", "n_flat", "row_stride",
+                                   "coder"))
 def decode_blocks_scan(num_lanes: int,
                        data: jnp.ndarray, dlen: jnp.ndarray,
                        xs_comp: jnp.ndarray, xs_fi: jnp.ndarray,
@@ -273,10 +389,15 @@ def decode_blocks_scan(num_lanes: int,
                        xs_live: jnp.ndarray,
                        quant_tab: jnp.ndarray, icosx_tab: jnp.ndarray,
                        icosy_tab: jnp.ndarray, mnt_tab: jnp.ndarray,
-                       ci_tab: jnp.ndarray, n_flat: int, row_stride: int):
+                       ci_tab: jnp.ndarray, n_flat: int, row_stride: int,
+                       coder: str = "vpx"):
     """Decode all lanes' block sequences in lockstep.
 
     data: uint8 [S, Lmax] per-lane compressed streams; dlen int32 [S].
+    coder "ans" (format v3): data is instead uint32 [S, Wmax] stream
+    words, dlen the per-lane word counts; reads go through the rANS
+    forward reader with the adv-model update rule and there is no
+    initial marker bit (ans_bool_writer has no vpx_start_encode).
     xs_*: [T, S] per-step block descriptors (component, LANE-LOCAL flat
     index, context masks, live).
     *_tab: [ncomp, 64] per-component tables; ci_tab int32 [ncomp].
@@ -293,16 +414,20 @@ def decode_blocks_scan(num_lanes: int,
     """
     S = num_lanes
     lanes = jnp.arange(S)
-    plut = jnp.asarray(_packed_lut())
     vpx_norm = jnp.asarray(_VPX_NORM_NP)
     unzig = jnp.asarray(_UNZIG49_NP)
     nz_bin = jnp.asarray(_NZ_BIN_NP)
-    read = make_read(lanes, data, dlen, plut, vpx_norm)
-
-    buf = state_init(S)
-    # marker bit (vpx_reader_init / vpx_start_encode), probability 128
-    buf, _ = read(buf, jnp.full(S, FIXED128, jnp.int32),
-                  jnp.ones(S, bool), adaptive=False)
+    if coder == "ans":
+        plut = jnp.asarray(_packed_lut_adv())
+        read = make_read_ans(lanes, data, dlen, plut)
+        buf = state_init_ans(data)
+    else:
+        plut = jnp.asarray(_packed_lut())
+        read = make_read(lanes, data, dlen, plut, vpx_norm)
+        buf = state_init(S)
+        # marker bit (vpx_reader_init / vpx_start_encode), probability 128
+        buf, _ = read(buf, jnp.full(S, FIXED128, jnp.int32),
+                      jnp.ones(S, bool), adaptive=False)
 
     coef = jnp.zeros((S, n_flat + 1, 64), dtype=jnp.int16)
     summ = jnp.zeros((S, n_flat + 1, 17), dtype=jnp.int16)
@@ -626,11 +751,13 @@ def decode_blocks_scan(num_lanes: int,
 
 def decode_segments_tpu(streams, plane_shapes, color_tables, mcuv,
                         max_coded_heights, component_sizes, splits_y,
-                        color_index=None, mesh=None, mesh_axis="seg"):
+                        color_index=None, mesh=None, mesh_axis="seg",
+                        coder="vpx"):
     """Decode per-segment VPX streams into coefficient planes on-device.
 
     streams: list of bytes (one independent arithmetic stream per
     segment, demuxed from the container in file order).
+    coder: "vpx" (v1/v2 boolcoder) or "ans" (v3 rANS backend).
     plane_shapes: [(H_c, W_c)] per component; color_tables: ColorTables.
     splits_y: luma_y_start per segment.
     mesh/mesh_axis: optional jax Mesh -- lanes (= segments) shard across
@@ -695,12 +822,27 @@ def decode_segments_tpu(streams, plane_shapes, color_tables, mcuv,
             xs_hl[t, s_i] = hl
             xs_live[t, s_i] = True
 
-    Lmax = max(1, max(len(b) for b in streams))
-    data = np.zeros((S, Lmax), np.uint8)
-    dlen = np.zeros(S, np.int32)
-    for s_i, b in enumerate(streams):
-        data[s_i, :len(b)] = np.frombuffer(b, np.uint8)
-        dlen[s_i] = len(b)
+    if coder == "ans":
+        # little-endian uint32 words, short trailing bytes zero-filled
+        # (ANSReader pads to a word boundary and zero-fills past EOF)
+        word_lists = []
+        for b in streams:
+            if len(b) % 4:
+                b = b + b"\x00" * (4 - len(b) % 4)
+            word_lists.append(np.frombuffer(b, np.uint32))
+        Lmax = max(1, max(len(w) for w in word_lists))
+        data = np.zeros((S, max(Lmax, 4)), np.uint32)
+        dlen = np.zeros(S, np.int32)
+        for s_i, w in enumerate(word_lists):
+            data[s_i, :len(w)] = w
+            dlen[s_i] = len(w)
+    else:
+        Lmax = max(1, max(len(b) for b in streams))
+        data = np.zeros((S, Lmax), np.uint8)
+        dlen = np.zeros(S, np.int32)
+        for s_i, b in enumerate(streams):
+            data[s_i, :len(b)] = np.frombuffer(b, np.uint8)
+            dlen[s_i] = len(b)
 
     quant_tab = np.zeros((ncomp, 64), np.int32)
     icosx_tab = np.zeros((ncomp, 64), np.int32)
@@ -739,7 +881,8 @@ def decode_segments_tpu(streams, plane_shapes, color_tables, mcuv,
         fn = shard_map(
             lambda d, dl, xc, xf, xa, xl, xv, qt, ix, iy, mt, ct:
             decode_blocks_scan(S_local, d, dl, xc, xf, xa, xl, xv,
-                               qt, ix, iy, mt, ct, n_flat, Wmax),
+                               qt, ix, iy, mt, ct, n_flat, Wmax,
+                               coder=coder),
             mesh=mesh,
             in_specs=(lane0, lane0, lane1, lane1, lane1, lane1, lane1,
                       rep, rep, rep, rep, rep),
@@ -750,7 +893,7 @@ def decode_segments_tpu(streams, plane_shapes, color_tables, mcuv,
         coef_lanes, err = fn(*args, *tabs)
     else:
         coef_lanes, err = decode_blocks_scan(
-            S, *args, *tabs, n_flat, Wmax)
+            S, *args, *tabs, n_flat, Wmax, coder=coder)
     coef_np = np.asarray(coef_lanes)
     planes = [np.zeros((heights[c], widths[c], 64), np.int16)
               for c in range(ncomp)]
