@@ -251,6 +251,20 @@ def _pack_u16_jit():
 _PACK_U16 = None
 
 
+def _vcounts_jit():
+    """Module-level jit(vmap(row_symbol_counts)) -- a fresh vmap object
+    per call would retrace every batch."""
+    global _VCOUNTS
+    if _VCOUNTS is None:
+        import jax
+        from .symbolize import row_symbol_counts
+        _VCOUNTS = jax.jit(jax.vmap(row_symbol_counts))
+    return _VCOUNTS
+
+
+_VCOUNTS = None
+
+
 def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
                            component_sizes, splits_y, color_index=None,
                            window: int = 32, segment_range=None):
@@ -290,10 +304,11 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
     tops = segment_top_rows(plans, ncomp)
     S = len(plans)
 
-    # 1. symbolize + per-plane compaction, all on device
-    packed_parts = []
-    row_offsets = []          # per comp: host offsets of each row's run
-    base = 0
+    # 1. symbolize all components with no host synchronization, then ONE
+    # counts fetch (each per-component blocking fetch was a full tunnel
+    # round trip), then per-plane compaction on device
+    from .symbolize import row_symbol_counts, compact_symbols_packed
+    slabs = []                # (idx, bit, counts_dev) per comp
     for c in range(ncomp):
         ct = color_tables[c]
         ci = (0 if c == 0 else 1) if color_index is None else color_index(c)
@@ -310,8 +325,18 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
             tuple(int(v) for v in ct.min_noise_threshold),
             jnp.int32(0), jnp.int32(component_sizes[c]),
             jnp.asarray(rha))
-        from .symbolize import row_symbol_counts, compact_symbols_packed
-        counts = np.asarray(row_symbol_counts(idx))        # [H], tiny
+        slabs.append((idx, bit, row_symbol_counts(idx)))
+        mark(f"symbolize comp{c} dispatched")
+    all_counts = np.asarray(jnp.concatenate([s[2] for s in slabs]))
+    mark("counts-fetch")
+    packed_parts = []
+    row_offsets = []          # per comp: host offsets of each row's run
+    base = 0
+    coff = 0
+    for c, (idx, bit, _) in enumerate(slabs):
+        H = heights[c]
+        counts = all_counts[coff:coff + H]
+        coff += H
         total = int(counts.sum())
         pk, _ = compact_symbols_packed(idx.reshape(-1), bit.reshape(-1),
                                        _bucket(max(total, 1)))
@@ -320,7 +345,7 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
         offs[1:] = np.cumsum(counts)
         row_offsets.append(base + offs)
         base += _bucket(max(total, 1))
-        mark(f"symbolize+compact comp{c}")
+        mark(f"compact comp{c}")
 
     # constant framing tail: 33 FIXED_PROB zero-bit slots (marker + stop)
     frame = jnp.full((64,), FIXED_PROB * 2, jnp.int32)
@@ -378,20 +403,19 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
     mark("phase-B")
 
     b2, c2 = _compact_out_jit()(emit, byte, carry)
-    if prof:
-        jax.block_until_ready((b2, c2))
+    bc16 = _pack_u16_jit()(b2, c2)
     mark("compact-out")
     nb = np.asarray(nbytes)
     maxb = _bucket(int(nb.max()) + 1, 1 << 12)
-    bh = np.asarray(b2[:, :maxb])
-    ch = np.asarray(c2[:, :maxb])
+    bch = np.asarray(bc16[:, :maxb])    # byte | carry<<8: one fetch
     mark("output transfer")
 
     streams = []
     for s in range(S):
         n = int(nb[s])
-        bs = bytearray(bh[s, :n].astype(np.uint8).tobytes())
-        for i in np.nonzero(ch[s, :n])[0]:
+        row = bch[s, :n]
+        bs = bytearray((row & 0xFF).astype(np.uint8).tobytes())
+        for i in np.nonzero(row >> 8)[0]:
             j = int(i) - 1
             while j >= 0 and bs[j] == 0xFF:
                 bs[j] = 0
@@ -456,8 +480,46 @@ def encode_images_device(images, window: int = 32):
                                  im["max_coded_heights"], im["splits_y"])
         img_rowoffs[d] = [None] * ncomp
 
+    # phase 1: dispatch EVERY group's transfer + symbolize + counts with
+    # no host synchronization, then fetch all counts in one transfer.
+    # Rationale: the per-group blocking counts fetch was one full tunnel
+    # round trip each; on a heterogeneous corpus groups are mostly
+    # singletons, so those round trips dominated warm batch latency.
+    # Waves bound the slabs held live on the device (idx+bit stay
+    # resident until their compaction) to ~4 GB of HBM.
     packed_parts = []
     base = 0
+    pending = []                 # (part, c, H, idx, bit, counts_dev)
+    wave_bytes = 0
+    WAVE_LIMIT = 4 << 30
+
+    def drain_wave():
+        nonlocal base, wave_bytes
+        if not pending:
+            return
+        allc = jnp.concatenate([p[5].reshape(-1) for p in pending])
+        allc_host = np.asarray(allc)       # ONE fetch for the wave
+        mark(f"counts-fetch x{len(pending)}")
+        off = 0
+        for part, c, H, idx, bit, _ in pending:
+            n = len(part) * H
+            counts = allc_host[off:off + n].reshape(len(part), H)
+            off += n
+            total = int(counts.sum())
+            pk, _ = compact_symbols_packed(
+                idx.reshape(-1), bit.reshape(-1),
+                _bucket(max(total, 1)))
+            packed_parts.append(pk)
+            flat_off = np.zeros(len(part) * H + 1, np.int64)
+            flat_off[1:] = np.cumsum(counts.reshape(-1))
+            for g, d in enumerate(part):
+                img_rowoffs[d][c] = \
+                    base + flat_off[g * H:g * H + H + 1]
+            base += _bucket(max(total, 1))
+        pending.clear()
+        wave_bytes = 0
+        mark("compact")
+
     for key, members in groups.items():
         ncomp = len(key)
         for c in range(ncomp):
@@ -483,29 +545,17 @@ def encode_images_device(images, window: int = 32):
                     for y in tops[c]:
                         rha[g, y] = False
                     csv[g] = images[d]["component_sizes"][c]
-                mark(f"host-prep g{len(packed_parts)}")
+                mark(f"host-prep g{len(packed_parts) + len(pending)}")
                 coefs_dev = jnp.asarray(coefs)
-                if prof:
-                    np.asarray(coefs_dev[0, 0, 0, 0])  # forced fetch:
-                    # block_until_ready does not block through axon
-                    mark(f"coef-transfer {coefs.nbytes >> 20}MB")
                 idx, bit = _vmapped_symbolize(ci, icx, icy, mnt)(
                     coefs_dev, quant, jnp.asarray(rha),
                     jnp.asarray(csv))
-                counts = np.asarray(jax.vmap(row_symbol_counts)(idx))
-                mark("symbolize+counts")
-                total = int(counts.sum())
-                pk, _ = compact_symbols_packed(
-                    idx.reshape(-1), bit.reshape(-1),
-                    _bucket(max(total, 1)))
-                packed_parts.append(pk)
-                mark("compact")
-                flat_off = np.zeros(len(part) * H + 1, np.int64)
-                flat_off[1:] = np.cumsum(counts.reshape(-1))
-                for g, d in enumerate(part):
-                    img_rowoffs[d][c] = \
-                        base + flat_off[g * H:g * H + H + 1]
-                base += _bucket(max(total, 1))
+                cnts = _vcounts_jit()(idx)
+                pending.append((part, c, H, idx, bit, cnts))
+                wave_bytes += len(part) * slab_bytes
+                if wave_bytes >= WAVE_LIMIT:
+                    drain_wave()
+    drain_wave()
 
     frame = jnp.full((64,), FIXED_PROB * 2, jnp.int32)
     packed = jnp.concatenate(packed_parts + [frame])
@@ -598,11 +648,21 @@ def encode_images_device(images, window: int = 32):
 
     out = [[] for _ in images]
     results = {}
+    # one fetch for every pool's byte counts, then the sliced outputs
+    # (each pool's slice width depends on its own max count)
+    all_nb = np.asarray(jnp.concatenate(
+        [nbytes for _, _, nbytes in fetches])) if fetches else np.zeros(0)
+    mark("nbytes-fetch")
+    nb_off = 0
+    sliced = []
     for members, bc16, nbytes in fetches:
-        nb = np.asarray(nbytes)
+        nb = all_nb[nb_off:nb_off + bc16.shape[0]]
+        nb_off += bc16.shape[0]
         maxb = _bucket(int(nb[:len(members)].max()) + 1, 1 << 12)
-        bch = np.asarray(bc16[:, :maxb])
-        mark(f"output-fetch {len(members)}x{maxb}")
+        sliced.append((members, nb, bc16[:, :maxb]))
+    for (members, nb, dev_slice) in sliced:
+        bch = np.asarray(dev_slice)
+        mark(f"output-fetch {len(members)}x{bch.shape[1]}")
         for s_i, lane in enumerate(members):
             n = int(nb[s_i])
             row = bch[s_i, :n]
