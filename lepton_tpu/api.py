@@ -427,16 +427,6 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
         # mode Y (-startbyte slices) keeps the host decoder
         return decompress(lep_data)
     coder = "ans" if hdr.version == 3 else "vpx"
-    if coder == "ans" and backend != "xla":
-        # the Mosaic kernel implements the VPX reader only; on real
-        # silicon the XLA scan formulation is not viable (per-read
-        # scatters serialize, NEXT_STEPS), so v3 takes the host decoder
-        # there; the XLA kernel covers v3 on the CPU backend and the
-        # virtual mesh (tests/test_tpu_decode.py, backend="xla")
-        import jax
-        if mesh is None and jax.devices()[0].platform == "tpu":
-            return decompress(lep_data)
-        backend = "xla"
     info = image_info_from_header(hdr.hdrdata, allow_34=True)
     max_heights, comp_sizes = _truncation_geometry(info, hdr)
 
@@ -470,7 +460,8 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
         from .kernels.pallas_decode import decode_segments_pallas
         planes, err = decode_segments_pallas(
             streams, shapes, colors, info.mcuv, max_heights, comp_sizes,
-            splits_y, color_index=(lambda c: 0 if c == 0 else 1))
+            splits_y, color_index=(lambda c: 0 if c == 0 else 1),
+            coder=coder)
     else:
         from .kernels.vpx_decode import decode_segments_tpu
         planes, err = decode_segments_tpu(

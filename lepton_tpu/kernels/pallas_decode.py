@@ -109,6 +109,21 @@ def _branch_update(fc, tc, bit):
     return nfc, ntc, nprob
 
 
+def _branch_update_adv(fc, tc, bit):
+    """Branch::adv_record_obs_and_update on scalars (branch.hh:66-80),
+    the ANS backend rule: probability from post-update counts, ORed
+    with 1 (a zero probability would break the rANS interval)."""
+    obs = bit != 0
+    val = jnp.where(obs, tc, fc)
+    nfc = jnp.where(obs, fc, fc + 1)
+    ntc = jnp.where(obs, tc + 1, tc)
+    ovf = val == 0xFF
+    nfc = jnp.where(ovf, jnp.where(obs, (fc + 1) >> 1, 129), nfc)
+    ntc = jnp.where(ovf, jnp.where(obs, 129, (tc + 1) >> 1), ntc)
+    nprob = _div_exact(nfc << 8, nfc + ntc) | 1
+    return nfc, ntc, nprob
+
+
 def _idct_ignore_dc(here88, quant88):
     """Fixed-point scaled IDCT with DC ignored on an (8,128) block value
     (rows=pixel rows, lanes 0..7 = columns); exact port of
@@ -223,8 +238,14 @@ def _extract_lane(v, c):
     return jnp.sum(jnp.where(lane == c, v, 0))
 
 
-def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp):
-    """The decode kernel, specialized on static geometry."""
+def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder="vpx"):
+    """The decode kernel, specialized on static geometry.
+
+    coder "ans" (format v3): data_ref holds little-endian uint32 stream
+    WORDS (one per element) and meta[s,0] is the word count; reads go
+    through the two-state rANS forward reader (ans_bool_reader.hh /
+    rans64.hh decode step) with the adv-model update rule, and there is
+    no initial marker bit."""
     s70, s71, s72, _ = _STR["nz_7x7"]
     e70, e71, e72, e73, _ = _STR["exp_7x7"]
     r70, r71, r72, _ = _STR["residual_noise"]
@@ -289,18 +310,56 @@ def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp):
             sh = lax.clz(rng2) - 24
             return (value2 << sh, rng2 << sh, count - sh, pos), bit
 
+        def ans_step(rd, prob):
+            """One get_bit of the ANS forward reader (ans_bool_reader.hh:
+            two alternating 64-bit rANS states as (hi, lo) int32 pairs;
+            rans64.hh decode advance x' = freq*(x>>8) + cum - start, one
+            stream word per renormalization, zero past EOF)."""
+            r0h, r0l, r1h, r1l, pos = rd
+            cum = r0l & 0xFF
+            ge = cum >= prob
+            bit = ge.astype(jnp.int32)
+            start = jnp.where(ge, prob, 0)
+            freq = jnp.where(ge, 256 - prob, prob)
+            # x >> 8 on the pair (logical shifts: values are u32 bits)
+            sh_lo = lax.shift_right_logical(r0l, 8) | (r0h << 24)
+            sh_hi = lax.shift_right_logical(r0h, 8)         # < 2^23
+            # freq * (x>>8) from 16-bit limbs (freq <= 256: every term
+            # fits 32 bits; the full product is < 2^63)
+            p_ll = freq * (sh_lo & 0xFFFF)
+            p_lh = freq * lax.shift_right_logical(sh_lo, 16)
+            p_h = freq * sh_hi
+            lo1 = p_ll + (cum - start)                      # < 2^26
+            lh_shift = p_lh << 16                           # wraps
+            nlo = lo1 + lh_shift                            # wraps
+            carry = 1 - _u_ge(nlo, lo1).astype(jnp.int32)
+            nhi = p_h + lax.shift_right_logical(p_lh, 16) + carry
+            # renorm: unsigned x < 2^31  <=>  nhi == 0 and nlo >= 0
+            renorm = (nhi == 0) & (nlo >= 0)
+            word = jnp.where(pos < dlen, fetch_byte(pos), 0)
+            x_hi = jnp.where(renorm, nlo, nhi)
+            x_lo = jnp.where(renorm, word, nlo)
+            pos = pos + renorm.astype(jnp.int32)
+            return (r1h, r1l, x_hi, x_lo, pos), bit
+
         def read(rd, idx):
-            """Adaptive read: one-hot branch RMW + vpx_read."""
+            """Adaptive read: one-hot branch RMW + coder step."""
             idx = jnp.clip(idx, 0, ARENA_SIZE - 1)
             row = idx // LANES
             off = idx - row * LANES
             tile = arena[pl.ds(row, 1), :]
             packed = jnp.sum(jnp.where(lane1 == off, tile, 0))
             prob = packed & 0xFF
-            rd, bit = vpx_step(rd, prob)
+            if coder == "ans":
+                rd, bit = ans_step(rd, prob)
+            else:
+                rd, bit = vpx_step(rd, prob)
             fc = (packed >> 16) & 0xFF
             tc = (packed >> 8) & 0xFF
-            nfc, ntc, nprob = _branch_update(fc, tc, bit)
+            if coder == "ans":
+                nfc, ntc, nprob = _branch_update_adv(fc, tc, bit)
+            else:
+                nfc, ntc, nprob = _branch_update(fc, tc, bit)
             npacked = (nfc << 16) | (ntc << 8) | nprob
             arena[pl.ds(row, 1), :] = jnp.where(lane1 == off, npacked,
                                                 tile)
@@ -356,9 +415,16 @@ def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp):
                 cond, body, (rd, length - 2, jnp.int32(0)))
             return rd, sbit, cv
 
-        # ---- reader init + marker bit
-        rd = (jnp.int32(0), jnp.int32(255), jnp.int32(-8), jnp.int32(0))
-        rd, _ = vpx_step(rd, jnp.int32(128))
+        # ---- reader init (+ marker bit, VPX only)
+        if coder == "ans":
+            # r0 = w0 | w1<<32, r1 = w2 | w3<<32, cursor at word 4
+            rd = (fetch_byte(jnp.int32(1)), fetch_byte(jnp.int32(0)),
+                  fetch_byte(jnp.int32(3)), fetch_byte(jnp.int32(2)),
+                  jnp.int32(4))
+        else:
+            rd = (jnp.int32(0), jnp.int32(255), jnp.int32(-8),
+                  jnp.int32(0))
+            rd, _ = vpx_step(rd, jnp.int32(128))
 
         def row_body(row_i, row_carry):
             rd, err = row_carry
@@ -695,8 +761,10 @@ def _build_luts():
 
 def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
                            max_coded_heights, component_sizes, splits_y,
-                           color_index=None, interpret=False):
-    """Decode per-segment VPX streams on the TPU via the Pallas kernel.
+                           color_index=None, interpret=False,
+                           coder="vpx"):
+    """Decode per-segment VPX or ANS (v3) streams on the TPU via the
+    Pallas kernel.
 
     Same contract as vpx_decode.decode_segments_tpu: returns (planes
     list of int16 [H_c, W_c, 64], err bool [S])."""
@@ -755,13 +823,29 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
         for t, f in enumerate(rows):
             rowdesc[s_i, t, :5] = f
 
-    Lmax = max(1, max(len(b) for b in streams))
-    Lrows = _bucket((Lmax + LANES - 1) // LANES, 64)
-    data = np.zeros((S, Lrows, LANES), np.int32)
-    for s_i, b in enumerate(streams):
-        arr = np.frombuffer(b, np.uint8).astype(np.int32)
-        data[s_i].reshape(-1)[:len(arr)] = arr
-        meta[s_i, 0] = len(b)
+    if coder == "ans":
+        # little-endian uint32 words, one per element; meta[s,0] = word
+        # count (short trailing bytes zero-fill, like ANSReader)
+        word_lists = []
+        for b in streams:
+            if len(b) % 4:
+                b = b + b"\x00" * (4 - len(b) % 4)
+            word_lists.append(np.frombuffer(b, np.uint32))
+        Lmax = max(4, max(len(w) for w in word_lists))
+        Lrows = _bucket((Lmax + LANES - 1) // LANES, 64)
+        data = np.zeros((S, Lrows, LANES), np.uint32)
+        for s_i, w in enumerate(word_lists):
+            data[s_i].reshape(-1)[:len(w)] = w
+            meta[s_i, 0] = len(w)
+        data = data.view(np.int32)
+    else:
+        Lmax = max(1, max(len(b) for b in streams))
+        Lrows = _bucket((Lmax + LANES - 1) // LANES, 64)
+        data = np.zeros((S, Lrows, LANES), np.int32)
+        for s_i, b in enumerate(streams):
+            arr = np.frombuffer(b, np.uint8).astype(np.int32)
+            data[s_i].reshape(-1)[:len(arr)] = arr
+            meta[s_i, 0] = len(b)
 
     q88 = np.zeros((ncomp * 8, LANES), np.int32)
     qflat = np.zeros((ncomp, LANES), np.int32)
@@ -781,7 +865,8 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
         mnt[c, :64] = np.asarray(ct.min_noise_threshold, np.int32)
 
     luts = _build_luts()
-    fn = _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret)
+    fn = _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret,
+                     coder)
     coef, err = fn(
         jnp.asarray(luts), jnp.asarray(meta),
         jnp.asarray(rowdesc.reshape(S * Tmax, LANES)),
@@ -804,11 +889,12 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=32)
-def _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret):
+def _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret,
+                coder="vpx"):
     """jit-wrapped pallas_call per static geometry: tracing the (large)
     kernel costs seconds in Python, so it must happen once per shape,
     not per call."""
-    kernel = _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp)
+    kernel = _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

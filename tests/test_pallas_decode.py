@@ -65,3 +65,25 @@ def test_pallas_decode_parity_interpret(nseg):
     for c, (w, g) in enumerate(zip(want, got)):
         assert np.array_equal(w, g), (
             c, np.argwhere(w != g)[:5], w[w != g][:5], g[w != g][:5])
+
+
+@pytest.mark.parametrize("nseg", [1, 2])
+def test_pallas_decode_ans_parity_interpret(nseg):
+    """The Mosaic rANS forward reader (coder='ans') matches the XLA ANS
+    kernel's planes on a v3 container."""
+    from lepton_tpu.kernels.pallas_decode import decode_segments_pallas
+    from lepton_tpu.kernels.vpx_decode import decode_segments_tpu
+
+    data = _tiny_jpeg(seed=9)
+    lep = compress(data, max_threads=nseg, min_threads=nseg, version=3)
+    assert decompress(lep) == data
+    args = _demux(lep)
+    want, err_w = decode_segments_tpu(
+        *args, color_index=lambda c: 0 if c == 0 else 1, coder="ans")
+    got, err_g = decode_segments_pallas(
+        *args, color_index=lambda c: 0 if c == 0 else 1, interpret=True,
+        coder="ans")
+    assert not err_w.any() and not err_g.any()
+    for c, (w, g) in enumerate(zip(want, got)):
+        assert np.array_equal(w, g), (
+            c, np.argwhere(w != g)[:5], w[w != g][:5], g[w != g][:5])
