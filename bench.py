@@ -45,6 +45,30 @@ IMAGES_DIR = "/root/reference/images"
 # aggregate over a slightly different file set.  Both are reported below.
 REFERENCE_ROUNDTRIP_MBPS = 4.45
 
+_TPU_PROBE = None
+
+
+def tpu_reachable(timeout_s: int = 240) -> bool:
+    """Probe the TPU backend in a SUBPROCESS with a timeout.
+
+    The axon tunnel relay can die host-side (observed r3: the relay
+    exits on stdin EOF); jax.devices() then blocks forever in backend
+    init rather than erroring, which would hang the whole bench.  A
+    killed subprocess keeps the probe bounded; the result is cached."""
+    global _TPU_PROBE
+    if _TPU_PROBE is None:
+        import subprocess
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "print(d[0].platform)"],
+                capture_output=True, timeout=timeout_s, text=True)
+            _TPU_PROBE = r.returncode == 0 and "tpu" in r.stdout
+        except subprocess.TimeoutExpired:
+            _TPU_PROBE = False
+    return _TPU_PROBE
+
 
 def bench_host():
     from lepton_tpu.api import compress, decompress
@@ -436,11 +460,16 @@ def main():
     lep_sizes = host.pop("lep_sizes", {})
     ref_live, size_parity = measure_reference_live(our_sizes=lep_sizes)
     ans = bench_ans_v3()
-    tpu = bench_tpu_phase_a()
-    tpu_b = bench_tpu_phase_b()
-    tpu_e = bench_tpu_e2e_encode()
-    tpu_be = bench_tpu_batch_encode()
-    tpu_d = bench_tpu_decode()
+    if tpu_reachable():
+        tpu = bench_tpu_phase_a()
+        tpu_b = bench_tpu_phase_b()
+        tpu_e = bench_tpu_e2e_encode()
+        tpu_be = bench_tpu_batch_encode()
+        tpu_d = bench_tpu_decode()
+    else:
+        err = dict(error="tpu tunnel unreachable (probe timeout); "
+                   "host metrics above are unaffected")
+        tpu = tpu_b = tpu_e = tpu_be = tpu_d = err
     value = host["roundtrip_mbps"]
     baseline = ref_live if ref_live else REFERENCE_ROUNDTRIP_MBPS
     result = {
