@@ -659,9 +659,14 @@ def decompress_streaming(lep_data: bytes) -> bytes:
                 if s_i >= len(seg_bounds):
                     return
                 start_y, end_y, is_last = seg_bounds[s_i]
+                seg_data = bytes(demux.buffers[s_i])
+                # each stream is consumed exactly once, in order: release
+                # the demux copy so the whole mux region is never held
+                # twice (keeps the streaming decode inside the declared
+                # -recodememory envelope)
+                demux.buffers[s_i] = None
                 state["dec"] = _native.StreamDecoder(
-                    native, masks, start_y, end_y, is_last,
-                    bytes(demux.buffers[s_i]))
+                    native, masks, start_y, end_y, is_last, seg_data)
             start_y, end_y, is_last = seg_bounds[state["seg"]]
             r = state["dec"].run(until)
             if r == 1 and until > end_y and not is_last:

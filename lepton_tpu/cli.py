@@ -335,17 +335,19 @@ def _install_jail_and_inject(opts, encode_side: bool) -> None:
         _prepare_for_jail(opts)
         from .util.sandbox import (install_jail, install_jail_stage2,
                                    prejail_heap)
-        # the memory filter: pre-grow the heap to the declared envelope,
-        # then drop brk/mmap/mremap outright (the reference's
-        # preallocate-then-strict-filter shape).  Requires
+        # the memory filter: pre-grow the heap to the process memory
+        # envelope, then drop brk/mmap/mremap outright (the reference's
+        # preallocate-then-strict-filter shape; its 176MB default arena,
+        # jpgcoder.cc:829-843).  -recodememory= is NOT the envelope: it
+        # is the declared decode bound enforced by the membound oracle
+        # (exit 38), exactly as in the reference.  Requires
         # PYTHONMALLOC=malloc (the launcher re-execs to set it); skipped
         # otherwise because CPython's pymalloc arenas call mmap
         # directly.  Installed BEFORE the allowlist filter: that one
         # bans prctl, so no further filter can follow it.
         if os.environ.get("PYTHONMALLOC") == "malloc" and \
                 os.environ.get("LEPTON_NO_STAGE2") != "1":
-            budget = opts.get("recodememory") or \
-                int(os.environ.get("LEPTON_STAGE2_HEAP", 192 << 20))
+            budget = int(os.environ.get("LEPTON_STAGE2_HEAP", 192 << 20))
             if prejail_heap(budget):
                 install_jail_stage2()
         install_jail()
