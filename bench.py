@@ -54,19 +54,27 @@ def tpu_reachable(timeout_s: int = 240) -> bool:
     The axon tunnel relay can die host-side (observed r3: the relay
     exits on stdin EOF); jax.devices() then blocks forever in backend
     init rather than erroring, which would hang the whole bench.  A
-    killed subprocess keeps the probe bounded; the result is cached."""
+    killed subprocess keeps the probe bounded; the result is cached.
+    The tunnel also FLAPS (observed r3: down for minutes, then back), so
+    a failed probe is retried once after a pause before giving up."""
     global _TPU_PROBE
     if _TPU_PROBE is None:
         import subprocess
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; d = jax.devices(); "
-                 "print(d[0].platform)"],
-                capture_output=True, timeout=timeout_s, text=True)
-            _TPU_PROBE = r.returncode == 0 and "tpu" in r.stdout
-        except subprocess.TimeoutExpired:
-            _TPU_PROBE = False
+        timeout_s = int(os.environ.get("LEPTON_TPU_PROBE_TIMEOUT",
+                                       timeout_s))
+        for attempt in range(2):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; d = jax.devices(); "
+                     "print(d[0].platform)"],
+                    capture_output=True, timeout=timeout_s, text=True)
+                _TPU_PROBE = r.returncode == 0 and "tpu" in r.stdout
+            except subprocess.TimeoutExpired:
+                _TPU_PROBE = False
+            if _TPU_PROBE or attempt:
+                break
+            time.sleep(60)
     return _TPU_PROBE
 
 
