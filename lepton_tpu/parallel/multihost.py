@@ -33,6 +33,30 @@ def init_distributed(coordinator: str, num_processes: int,
             raise
 
 
+_BARRIER_SEQ = [0]
+
+
+def _pre_collective_barrier(timeout_ms: int = 600_000) -> None:
+    """Align processes via the COORDINATION SERVICE before the first
+    Gloo collective.
+
+    Gloo's context init rendezvous has a fixed ~30s key-exchange window;
+    each process reaches its first collective only after compiling the
+    whole device pipeline, and on a loaded host that compile skew can
+    exceed the window (observed: DEADLINE_EXCEEDED on GetKeyValue).  The
+    coordination-service barrier takes an explicit long timeout and no
+    Gloo context, so processes enter the collective near-simultaneously."""
+    try:
+        from jax._src import distributed as _dist
+        client = _dist.global_state.client
+        if client is not None:
+            _BARRIER_SEQ[0] += 1
+            client.wait_at_barrier(
+                f"lepton_gather_{_BARRIER_SEQ[0]}", timeout_ms)
+    except Exception:
+        pass                      # best-effort: older/newer jax internals
+
+
 def gather_streams_to_host0(streams: List[bytes]) -> Optional[List[bytes]]:
     """All-gather per-segment byte streams across processes, file order.
 
@@ -46,6 +70,7 @@ def gather_streams_to_host0(streams: List[bytes]) -> Optional[List[bytes]]:
     nproc = jax.process_count()
     if nproc == 1:
         return streams
+    _pre_collective_barrier()
     # pad locally to a common (count, length) then all-gather as uint8
     local_n = len(streams)
     local_max = max((len(s) for s in streams), default=0)
