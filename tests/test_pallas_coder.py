@@ -72,13 +72,29 @@ def test_pallas_coder_on_device():
         # hardware is present
         import subprocess
         import sys
+        import time as _time
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=300,
-            env={k: v for k, v in os.environ.items()
-                 if k not in ("JAX_PLATFORMS",)})
+        # the axon tunnel FLAPS (down for minutes, then back) and a dead
+        # relay makes jax.devices() block forever -- bound the probe and
+        # retry once, and treat an unreachable tunnel as an environment
+        # outage (skip), not a code failure (mirrors bench.tpu_reachable)
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS",)}
+        probe = None
+        for attempt in range(2):
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; print(jax.devices()[0].platform)"],
+                    capture_output=True, text=True, timeout=300, env=env)
+            except subprocess.TimeoutExpired:
+                probe = None
+            if probe is not None:
+                break
+            if not attempt:
+                _time.sleep(60)
+        if probe is None:
+            pytest.skip("TPU tunnel unreachable (probe timeout)")
         if probe.returncode != 0 or "tpu" not in probe.stdout:
             pytest.skip("no TPU attached")
         r = subprocess.run(
