@@ -228,9 +228,38 @@ def bench_ans_v3():
             dt = min(dt, t2 - t1)
         assert out == data
         mb = len(data) / 1e6
-        return dict(encode_mbps=round(mb / et, 2),
-                    decode_mbps=round(mb / dt, 2),
-                    ratio=round(len(lep) / len(data), 4))
+        res = dict(encode_mbps=round(mb / et, 2),
+                   decode_mbps=round(mb / dt, 2),
+                   ratio=round(len(lep) / len(data), 4))
+        # live same-host comparison against the reference's own ANS
+        # build (same subprocess methodology as the VPX baseline above)
+        refbin = "/tmp/refbuild-ans/lepton"
+        if os.path.exists(refbin):
+            import subprocess
+            ret = rdt = 1e18
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    subprocess.run([refbin, "-skipverify", "-unjailed",
+                                    path, "/tmp/_bench_ans.lep"],
+                                   capture_output=True, timeout=600,
+                                   check=True)
+                    t1 = time.perf_counter()
+                    subprocess.run([refbin, "-unjailed",
+                                    "/tmp/_bench_ans.lep",
+                                    "/tmp/_bench_ans.jpg"],
+                                   capture_output=True, timeout=600,
+                                   check=True)
+                    t2 = time.perf_counter()
+                    ret = min(ret, t1 - t0)
+                    rdt = min(rdt, t2 - t1)
+                res["ref_ans_encode_mbps"] = round(mb / ret, 2)
+                res["ref_ans_decode_mbps"] = round(mb / rdt, 2)
+                res["vs_ref_ans_roundtrip"] = round(
+                    (2 * mb / (et + dt)) / (2 * mb / (ret + rdt)), 2)
+            except Exception:
+                pass
+        return res
     except Exception as e:
         return dict(error=repr(e)[:200])
 
