@@ -240,18 +240,16 @@ typedef struct {
     int64_t sym_n, sym_cap;
     /* ANS (format v3) mode: buffer (prob,bit) pairs, adv update rule */
     int ans;
-    uint8_t *ans_probs, *ans_bits;
+    uint16_t *ans_pairs;     /* packed prob | (bit << 8), one per decision */
     int64_t ans_n, ans_cap;
     AnsReader *ar;
 } Coder;
 
 static int ans_pairs_grow(Coder *c) {
     int64_t ncap = c->ans_cap ? c->ans_cap * 2 : (1 << 20);
-    uint8_t *p = (uint8_t *)realloc(c->ans_probs, (size_t)ncap);
-    uint8_t *b = (uint8_t *)realloc(c->ans_bits, (size_t)ncap);
-    if (!p || !b) { free(p ? p : c->ans_probs); free(b ? b : c->ans_bits);
-                    c->ans_probs = NULL; c->ans_bits = NULL; return -1; }
-    c->ans_probs = p; c->ans_bits = b; c->ans_cap = ncap;
+    uint16_t *p = (uint16_t *)realloc(c->ans_pairs, (size_t)ncap * 2);
+    if (!p) { free(c->ans_pairs); c->ans_pairs = NULL; return -1; }
+    c->ans_pairs = p; c->ans_cap = ncap;
     return 0;
 }
 
@@ -360,9 +358,7 @@ static inline void coder_put(Coder *c, int bit, int idx) {
     if (__builtin_expect(c->ans, 0)) {
         uint8_t *b = c->arena + idx * 3;
         if (c->ans_n >= c->ans_cap && ans_pairs_grow(c) != 0) return;
-        c->ans_probs[c->ans_n] = b[2];
-        c->ans_bits[c->ans_n] = (uint8_t)bit;
-        ++c->ans_n;
+        c->ans_pairs[c->ans_n++] = (uint16_t)(b[2] | (bit << 8));
         branch_update_adv(b, bit);
         return;
     }
@@ -1324,38 +1320,30 @@ EXPORT int lepton_decode_segment(
  * rans64.hh); the decoder streams forward (ans_bool_reader.hh). */
 
 /* exact u64 / freq for freq in [1,256] via Granlund-Montgomery round-up
- * magic (q = ((mulhi(m,x) + x) >> L), valid for all x) -- the hardware
- * 64-bit divide would otherwise dominate the rANS encode loop */
-static struct { uint64_t m; uint32_t l; uint32_t pow2; } RANS_DIV[257];
+ * magic: q = (mulhi(m_low, x) + x) >> L with the full multiplier
+ * M = 2^(64+L)/d + 1 >= 2^64, of which only the low 64 bits are stored
+ * (the implicit 2^64 term is the "+ x").  For d = 2^L the formula gives
+ * M = 2^64 + 1, i.e. m_low = 1 and q = (x/2^64 + x) >> L = x >> L --
+ * exact, so no power-of-two special case (and no branch) is needed.
+ * The hardware 64-bit divide would otherwise dominate the encode loop. */
+static struct { uint64_t m; uint32_t l; } RANS_DIV[257];
 
 __attribute__((constructor))
 static void init_rans_div(void) {
     for (uint32_t d = 1; d <= 256; ++d) {
         uint32_t l = 0;
         while ((1u << l) < d) ++l;
-        if ((d & (d - 1)) == 0) {
-            RANS_DIV[d].pow2 = l;
-            RANS_DIV[d].m = 0;
-            RANS_DIV[d].l = 0;
-        } else {
-            unsigned __int128 num = ((unsigned __int128)1) << (64 + l);
-            RANS_DIV[d].m = (uint64_t)(num / d + 1);  /* low 64 bits */
-            RANS_DIV[d].l = l;
-            RANS_DIV[d].pow2 = 0xFFFFFFFFu;
-        }
+        unsigned __int128 num = ((unsigned __int128)1) << (64 + l);
+        RANS_DIV[d].m = (uint64_t)(num / d + 1);  /* low 64 bits of M */
+        RANS_DIV[d].l = l;
     }
 }
 
 static inline uint64_t rans_divmod(uint64_t x, uint32_t freq,
                                    uint64_t *rem) {
-    uint64_t q;
-    if (RANS_DIV[freq].pow2 != 0xFFFFFFFFu) {
-        q = x >> RANS_DIV[freq].pow2;
-    } else {
-        unsigned __int128 t =
-            ((unsigned __int128)RANS_DIV[freq].m * x >> 64) + x;
-        q = (uint64_t)(t >> RANS_DIV[freq].l);
-    }
+    unsigned __int128 t =
+        ((unsigned __int128)RANS_DIV[freq].m * x >> 64) + x;
+    uint64_t q = (uint64_t)(t >> RANS_DIV[freq].l);
     *rem = x - q * freq;
     return q;
 }
@@ -1382,20 +1370,25 @@ static int64_t ans_finish(Coder *c, uint8_t *out, int64_t out_cap) {
     if (!scratch) return -1;
     uint32_t *wp = scratch + max_words;
     uint64_t s1 = RANS64_L, s2 = RANS64_L;
-    for (int64_t k = npairs + 3; k >= 0; --k) {
-        uint32_t fb, fp, sb, sp;
-        if (k < npairs) {
-            sb = c->ans_bits[2 * k];
-            sp = c->ans_probs[2 * k];
-            if (2 * k + 1 < n) {
-                fb = c->ans_bits[2 * k + 1];
-                fp = c->ans_probs[2 * k + 1];
-            } else {
-                fb = 1; fp = 1;        /* unfilled sentinel slot */
-            }
-        } else {
-            fb = 0; fp = 128; sb = 0; sp = 128;   /* nop pairs */
-        }
+    /* encode back-to-front: 4 nop pairs first (decoded last), then the
+     * sentinel-padded odd tail, then the clean bulk loop -- peeling the
+     * two rare cases keeps the hot body branch-free */
+    for (int k = 0; k < 4; ++k) {
+        s1 = rans_enc_put(s1, 0, 128, &wp);
+        s2 = rans_enc_put(s2, 0, 128, &wp);
+    }
+    int64_t k = npairs - 1;
+    if (n & 1) {
+        uint32_t v0 = c->ans_pairs[2 * k];
+        uint32_t sb = v0 >> 8, sp = v0 & 0xFF;
+        s1 = rans_enc_put(s1, 1, 255, &wp);   /* sentinel fb=1, fp=1 */
+        s2 = rans_enc_put(s2, sb ? sp : 0, sb ? 256 - sp : sp, &wp);
+        --k;
+    }
+    for (; k >= 0; --k) {
+        uint32_t v1 = c->ans_pairs[2 * k + 1], v0 = c->ans_pairs[2 * k];
+        uint32_t fb = v1 >> 8, fp = v1 & 0xFF;
+        uint32_t sb = v0 >> 8, sp = v0 & 0xFF;
         s1 = rans_enc_put(s1, fb ? fp : 0, fb ? 256 - fp : fp, &wp);
         s2 = rans_enc_put(s2, sb ? sp : 0, sb ? 256 - sp : sp, &wp);
     }
@@ -1441,8 +1434,7 @@ EXPORT int64_t lepton_encode_segment_ans(
     int64_t r = err == 2 ? -3 : -1;
     if (!err)
         r = ans_finish(&c, out, out_cap);
-    free(c.ans_probs);
-    free(c.ans_bits);
+    free(c.ans_pairs);
     return r;
 }
 
