@@ -230,10 +230,12 @@ def main(argv=None) -> int:
 
     if opts.get("fork"):
         from .serve import fork_serve
+        opts["serving"] = True
         return fork_serve(opts)
 
     if socket_path or listen_port or zlib_port:
         from .serve import serve
+        opts["serving"] = True
         return serve(socket_path, listen_port, zlib_port, max_children, opts)
 
     if opts["lepcat"]:
@@ -407,7 +409,12 @@ def _prepare_for_jail(opts) -> None:
     # installing seccomp (jpgcoder.cc:888, :1766)
     try:
         tiny = b"\xff\xd8" + api._BASIC_HEADER + b"\xff\xd9"
-        api.decompress(api.compress(tiny))
+        lep = api.compress(tiny)
+        api.decompress(lep)
+        try:
+            api.decompress_streaming(lep)  # serving's default decode path
+        except Exception:
+            pass
         api.generic_compress(b"x")
         api._warm_pool()     # thread stacks must exist before stage 2
     except Exception:
@@ -597,6 +604,16 @@ def _process(data: bytes, opts) -> tuple:
                 sys.exit(38)  # ExitCode::TOO_MUCH_MEMORY_NEEDED
             # honor the declared bound with the O(width) streaming decode
             return decompress_streaming(data), "lepton"
+        if opts.get("serving"):
+            # serving decodes O(width) by default: per-connection children
+            # keep a 2-row ring instead of the full framebuffer, so
+            # max_children concurrent decodes fit a bounded footprint.
+            # decompress_streaming is byte-identical and falls back to the
+            # full decode for v3/progressive/truncated containers;
+            # concatenations (multi-container) take the decompress_all path
+            from .api import _container_end, decompress_streaming
+            if _container_end(data, 0) == len(data):
+                return decompress_streaming(data), "lepton"
         return decompress_all(data), "lepton"
     if opts["permissive"]:
         from .api import generic_compress

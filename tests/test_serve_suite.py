@@ -164,3 +164,28 @@ def test_concurrent_connections(server):
     # identical inputs must give identical outputs
     assert results[1] == results[3] == results[5]
     assert results[0] == results[2] == results[4]
+
+
+def test_serving_decode_defaults_to_streaming(monkeypatch):
+    """Serving decodes O(width) by default: the lepton branch of
+    cli._process must route single containers through
+    decompress_streaming when opts carry the serving marker (and the
+    bytes must match the full-framebuffer decode)."""
+    from lepton_tpu import api, cli
+    with open(os.path.join(IMAGES, "nofsync.jpg"), "rb") as f:
+        jpeg = f.read()
+    lep = api.compress(jpeg)
+    calls = []
+    real = api.decompress_streaming
+    def spy(data):
+        calls.append(1)
+        return real(data)
+    monkeypatch.setattr(api, "decompress_streaming", spy)
+    out, kind = cli._process(lep, {"serving": True})
+    assert kind == "lepton"
+    assert out == jpeg
+    assert calls, "serving decode did not take the streaming path"
+    # without the marker the default remains the full decode
+    calls.clear()
+    out2, _ = cli._process(lep, {})
+    assert out2 == jpeg and not calls
