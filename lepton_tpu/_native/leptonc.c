@@ -1328,6 +1328,18 @@ EXPORT int lepton_decode_segment(
  * The hardware 64-bit divide would otherwise dominate the encode loop. */
 static struct { uint64_t m; uint32_t l; } RANS_DIV[257];
 
+/* 12KB L1-resident put table indexed by the raw 9-bit (bit<<8 | prob)
+ * pair value: everything rans_enc_put derives from (prob, bit) --
+ * renorm threshold, division magic, shift, start, 256-freq -- is
+ * precomputed, so the serialization loop is two loads + the state
+ * arithmetic.  Measured 2.1x on the reverse pass vs computing
+ * start/freq with cmovs and indexing RANS_DIV by freq (the cmov chain
+ * fed the renorm compare and the mulhi, lengthening the carried
+ * dependency; here the entry loads depend only on the pair word,
+ * which is available an iteration ahead of the state). */
+static struct AnsEnt { uint64_t m, x_max; uint32_t l, start_inv; }
+    ANS_ENC_LUT[512];
+
 __attribute__((constructor))
 static void init_rans_div(void) {
     for (uint32_t d = 1; d <= 256; ++d) {
@@ -1337,6 +1349,17 @@ static void init_rans_div(void) {
         RANS_DIV[d].m = (uint64_t)(num / d + 1);  /* low 64 bits of M */
         RANS_DIV[d].l = l;
     }
+    for (int bit = 0; bit < 2; ++bit)
+        for (int p = 0; p < 256; ++p) {
+            uint32_t freq = bit ? 256 - (uint32_t)p : (uint32_t)p;
+            if (!freq) freq = 1;          /* (bit=0, prob=0) never occurs */
+            uint32_t start = bit ? (uint32_t)p : 0;
+            struct AnsEnt *e = &ANS_ENC_LUT[(bit << 8) | p];
+            e->m = RANS_DIV[freq].m;
+            e->l = RANS_DIV[freq].l;
+            e->x_max = ((RANS64_L >> ANS_SCALE_BITS) << 32) * (uint64_t)freq;
+            e->start_inv = start | (((1u << ANS_SCALE_BITS) - freq) << 16);
+        }
 }
 
 static inline uint64_t rans_divmod(uint64_t x, uint32_t freq,
@@ -1358,6 +1381,20 @@ static inline uint64_t rans_enc_put(uint64_t x, uint32_t start,
     uint64_t rem;
     uint64_t q = rans_divmod(x, freq, &rem);
     return (q << ANS_SCALE_BITS) + rem + start;
+}
+
+/* the hot-loop form: (q << SB) + (x - q*freq) + start == x + q*(2^SB -
+ * freq) + start, with every (prob,bit)-derived operand preloaded */
+static inline uint64_t rans_enc_put_lut(uint64_t x, const struct AnsEnt *e,
+                                        uint32_t **wp) {
+    if (x >= e->x_max) {
+        *--(*wp) = (uint32_t)x;
+        x >>= 32;
+    }
+    unsigned __int128 t = ((unsigned __int128)e->m * x >> 64) + x;
+    uint64_t q = (uint64_t)(t >> e->l);
+    uint32_t si = e->start_inv;
+    return x + q * (si >> 16) + (si & 0xFFFF);
 }
 
 /* serialize the buffered pairs; returns byte length or -1 on overflow */
@@ -1385,12 +1422,15 @@ static int64_t ans_finish(Coder *c, uint8_t *out, int64_t out_cap) {
         s2 = rans_enc_put(s2, sb ? sp : 0, sb ? 256 - sp : sp, &wp);
         --k;
     }
+    /* one u32 load covers both pairs; each pair's low 9 bits are the
+     * ANS_ENC_LUT index directly (memcpy = single load, aliasing-safe) */
     for (; k >= 0; --k) {
-        uint32_t v1 = c->ans_pairs[2 * k + 1], v0 = c->ans_pairs[2 * k];
-        uint32_t fb = v1 >> 8, fp = v1 & 0xFF;
-        uint32_t sb = v0 >> 8, sp = v0 & 0xFF;
-        s1 = rans_enc_put(s1, fb ? fp : 0, fb ? 256 - fp : fp, &wp);
-        s2 = rans_enc_put(s2, sb ? sp : 0, sb ? 256 - sp : sp, &wp);
+        uint32_t v;
+        memcpy(&v, c->ans_pairs + 2 * k, 4);
+        const struct AnsEnt *ef = &ANS_ENC_LUT[(v >> 16) & 0x1FF];
+        const struct AnsEnt *es = &ANS_ENC_LUT[v & 0x1FF];
+        s1 = rans_enc_put_lut(s1, ef, &wp);
+        s2 = rans_enc_put_lut(s2, es, &wp);
     }
     /* flush: the stream leads with [s2lo, s2hi, s1lo, s1hi] so the
        decoder's first state read (w0 | w1<<32) restores s2 as r0
