@@ -2536,10 +2536,14 @@ EXPORT int64_t lepton_recode_any_scan(
 
     #define ENCODE_EOBRUN(act) do { \
         if (eobrun > 0) { \
-            while (eobrun > (uint32_t)(act)->valid * 0 + max_eobrun_of(act)) { \
+            uint32_t _max = max_eobrun_of(act); \
+            /* only corrupt coefficients reach a run the table can't code;
+             * error out instead of looping on a zero decrement */ \
+            if (_max == 0) return -1; \
+            while (eobrun > _max) { \
                 hbw_write(&w, (act)->cval[0xE0], (act)->clen[0xE0]); \
                 hbw_write(&w, 32767 - (1 << 14), 14); \
-                eobrun -= max_eobrun_of(act); \
+                eobrun -= _max; \
             } \
             int _s = bit_length_u(eobrun); \
             if (_s) --_s; \

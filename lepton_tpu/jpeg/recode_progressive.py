@@ -29,6 +29,11 @@ def _fdiv2(v: int, p: int) -> int:
 def _encode_eobrun(huffw: BitWriter, actbl, eobrun: int) -> int:
     """jpgcoder.cc:5349-5374; returns the new (zero) eobrun."""
     if eobrun > 0:
+        if actbl.max_eobrun == 0:
+            # only reachable with corrupt coefficients: a valid stream's
+            # optimized table always covers the runs its scan produced
+            from .recoder import RecodeError
+            raise RecodeError("AC table cannot encode an EOB run")
         while eobrun > actbl.max_eobrun:
             huffw.write(actbl.cval[0xE0], actbl.clen[0xE0])
             huffw.write(32767 - (1 << 14), 14)  # E_ENVLI(14, 32767)

@@ -127,3 +127,45 @@ def test_oversized_dc_category_no_crash():
     assert r.returncode == 0, (r.returncode, r.stderr.decode())
     assert r.stdout.strip().split()[0] in (b"roundtrip", b"rejected"), \
         r.stdout
+
+
+def test_truncated_progressive_eobrun_no_hang():
+    """Truncating a progressive container mid-CMP leaves garbage
+    coefficients whose EOB runs the (optimized, minimal) AC table cannot
+    encode; the scan re-emit must error out, not spin on a zero-decrement
+    eobrun flush (found by tools/soak.py, seed 7 case 6)."""
+    import io
+    import subprocess
+    import sys as _sys
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    yy, xx = np.mgrid[0:31, 0:2]
+    ch = np.clip(xx * 127 + yy * 8 + rng.normal(0, 24, (31, 2)),
+                 0, 255).astype(np.uint8)
+    arr = np.stack([ch, np.roll(ch, 7, 0), np.roll(ch, 13, 1)], axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=95,
+                                     subsampling=0, progressive=True)
+    data = buf.getvalue()
+    lep = compress(data, allow_progressive=True, max_threads=4)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # sweep cuts across the CMP region in a subprocess: a regression hangs
+    # the child, which the timeout converts into a test failure
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r)\n"
+         "from lepton_tpu.api import decompress\n"
+         "lep = sys.stdin.buffer.read()\n"
+         "for cut in range(60, len(lep) - 8, 7):\n"
+         "    try:\n"
+         "        decompress(lep[:cut])\n"
+         "    except Exception:\n"
+         "        pass\n"
+         "print('terminated')\n" % repo],
+        input=lep, capture_output=True, timeout=120)
+    assert r.returncode == 0 and b"terminated" in r.stdout, \
+        (r.returncode, r.stderr.decode()[-500:])

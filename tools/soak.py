@@ -1,0 +1,259 @@
+#!/usr/bin/env python
+"""Randomized roundtrip soak: the "nightly larger soak" from NEXT_STEPS.
+
+Generates seeded random JPEGs sweeping the full encoder parameter space
+(mode, dimensions, quality, subsampling, optimized tables, restart
+intervals, progressive scripts, container version, thread counts), then
+for every file checks:
+
+  1. bit-exact roundtrip through our codec (compress -> decompress)
+  2. clean failure on a randomly truncated container (no crash/hang,
+     no fabricated full-length output)
+  3. clean termination on a random container bit-flip
+  4. (sampled, when the reference binaries exist) byte-identical encode
+     vs /tmp/refbuild[-ans]/lepton and reference cross-decode of ours
+
+Every case is reproducible from (base seed, case index); failures are
+saved under --out with a params.json + repro command.  This distills to
+tests/test_synthetic_corpus.py; the soak exists to cover the space the
+fixed cases can't (it found the grayscale+RST reference parity quirk).
+
+Usage:  python tools/soak.py --n 300 --seed 0 [--ref-every 20] [--fast]
+Exit:   0 all green, 1 failures (count printed), artifacts in --out.
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import random
+import subprocess
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    print("PIL required for the soak generator", file=sys.stderr)
+    sys.exit(2)
+
+from lepton_tpu.api import compress, decompress  # noqa: E402
+
+REF = "/tmp/refbuild/lepton"
+REF_ANS = "/tmp/refbuild-ans/lepton"
+
+
+def gen_image(rng: random.Random, w: int, h: int, mode: str) -> Image.Image:
+    nrng = np.random.default_rng(rng.randrange(1 << 31))
+    kind = rng.choice(["gradient", "noise", "flat", "blocks", "mixed"])
+    if kind == "flat":
+        ch = np.full((h, w), rng.randrange(256), np.uint8)
+    elif kind == "noise":
+        ch = nrng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    elif kind == "blocks":
+        bs = rng.choice([4, 8, 16])
+        small = nrng.integers(0, 256,
+                              size=(h // bs + 1, w // bs + 1), dtype=np.uint8)
+        ch = np.kron(small, np.ones((bs, bs), np.uint8))[:h, :w]
+    else:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 255 / max(w, 1) + yy * 255 / max(h, 1)) / 2
+        noise = nrng.normal(0, rng.uniform(0, 48), size=(h, w))
+        ch = np.clip(base + noise, 0, 255).astype(np.uint8)
+    if mode == "L":
+        return Image.fromarray(ch, "L")
+    arr = np.stack([ch, np.roll(ch, 7, 0), np.roll(ch, 13, 1)], axis=-1)
+    img = Image.fromarray(arr, "RGB")
+    return img.convert(mode) if mode != "RGB" else img
+
+
+def gen_case(rng: random.Random) -> dict:
+    """Draw one (image params, save params, codec params) triple."""
+    mode = rng.choices(["RGB", "L", "CMYK"], weights=[6, 2, 1])[0]
+    w = rng.choice([1, 2, 7, 8, 9, 15, 16, 17, 31, 64, 65,
+                    rng.randrange(1, 400), rng.randrange(1, 400)])
+    h = rng.choice([1, 2, 7, 8, 9, 15, 16, 17, 31, 64, 65,
+                    rng.randrange(1, 400), rng.randrange(1, 400)])
+    save = {"quality": rng.choice([1, 5, 25, 50, 75, 85, 95, 100,
+                                   rng.randrange(1, 101)])}
+    if mode == "RGB":
+        save["subsampling"] = rng.randrange(3)
+    if rng.random() < 0.4:
+        save["optimize"] = True
+    if rng.random() < 0.3:
+        save["restart_marker_blocks"] = rng.randrange(1, 9)
+    progressive = rng.random() < 0.3 and mode != "CMYK"
+    if progressive:
+        save["progressive"] = True
+    codec = {
+        "max_threads": rng.choice([1, 2, 4, 8, 16]),
+        "even_split": rng.random() < 0.2,
+        "version": rng.choices([1, 2, 3], weights=[5, 2, 3])[0],
+        "allow_progressive": progressive,
+        "allow_four_colors": mode == "CMYK",
+    }
+    return {"mode": mode, "w": w, "h": h, "save": save, "codec": codec}
+
+
+def make_jpeg(case: dict, rng: random.Random) -> bytes:
+    img = gen_image(rng, case["w"], case["h"], case["mode"])
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", **case["save"])
+    return buf.getvalue()
+
+
+def check_roundtrip(data: bytes, codec: dict) -> bytes:
+    lep = compress(data, **codec)
+    back = decompress(lep)
+    if back != data:
+        raise AssertionError(
+            f"roundtrip mismatch: {len(back)} vs {len(data)} bytes")
+    return lep
+
+
+def check_truncation(data: bytes, lep: bytes, rng: random.Random) -> None:
+    for _ in range(3):
+        cut = rng.randrange(1, len(lep))
+        try:
+            out = decompress(lep[:cut])
+        except Exception:
+            continue
+        # the trailing LE32 size + arithmetic flush padding are redundant
+        # on decode (EOF-fill reproduces the flush zeros), so cuts within
+        # the last few bytes may legitimately still decode bit-exactly
+        if out == data and cut < len(lep) - 24:
+            raise AssertionError(f"truncated container at {cut} "
+                                 "fabricated the full original")
+
+
+def check_bitflip(data: bytes, lep: bytes, rng: random.Random) -> None:
+    for _ in range(3):
+        if len(lep) <= 31:
+            return
+        pos = rng.randrange(30, len(lep))
+        mutated = bytearray(lep)
+        mutated[pos] ^= 1 << rng.randrange(8)
+        try:
+            out = decompress(bytes(mutated))
+        except Exception:
+            continue
+        if len(out) > len(data) + (1 << 20):
+            raise AssertionError(f"bit-flip at {pos} produced unbounded "
+                                 f"output ({len(out)} bytes)")
+
+
+def check_reference(data: bytes, lep: bytes, case: dict, tmpdir: str) -> None:
+    """Byte-identical encode + cross-decode vs the reference binary."""
+    codec = case["codec"]
+    if case["mode"] == "CMYK" or codec["version"] == 2:
+        return  # default reference build rejects 4-color; no v2 binary
+    binpath = REF_ANS if codec["version"] == 3 else REF
+    if not os.path.exists(binpath):
+        return
+    src = os.path.join(tmpdir, "s.jpg")
+    with open(src, "wb") as f:
+        f.write(data)
+    reflep = os.path.join(tmpdir, "ref.lep")
+    flags = ["-skipverify", "-unjailed", "-singlethread"
+             if codec["max_threads"] == 1 else
+             f"-maxencodethreads={codec['max_threads']}"]
+    if codec["version"] == 3:
+        flags.append("-ans")
+    if codec["even_split"]:
+        flags.append("-evensplit")
+    if codec["allow_progressive"]:
+        flags.append("-allowprogressive")
+    r = subprocess.run([binpath, *flags, src, reflep],
+                       capture_output=True, timeout=300)
+    if r.returncode != 0:
+        # reference rejected an input we accepted (e.g. its stricter
+        # sampling gate); only flag if we *also* should have rejected
+        return
+    ref_bytes = open(reflep, "rb").read()
+    # the 12-byte git-rev field differs by construction; mask it
+    if len(ref_bytes) != len(lep) or ref_bytes[:4] != lep[:4] or \
+            ref_bytes[16:] != lep[16:]:
+        raise AssertionError(
+            f"encode differs from reference: {len(lep)} vs "
+            f"{len(ref_bytes)} bytes (cmd {' '.join(flags)})")
+    # cross-decode: the reference must decode OUR container bit-exactly
+    ourlep = os.path.join(tmpdir, "our.lep")
+    with open(ourlep, "wb") as f:
+        f.write(lep)
+    out = os.path.join(tmpdir, "o.jpg")
+    r = subprocess.run([binpath, "-unjailed", ourlep, out],
+                       capture_output=True, timeout=300)
+    if r.returncode != 0 or open(out, "rb").read() != data:
+        raise AssertionError("reference failed to cross-decode our .lep")
+
+
+def run_case(idx: int, base_seed: int, args, tmpdir: str):
+    seed = base_seed * 1_000_003 + idx
+    rng = random.Random(seed)
+    case = gen_case(rng)
+    try:
+        data = make_jpeg(case, rng)
+    except Exception:
+        return "skip", case, None  # PIL refused the combination
+    try:
+        lep = check_roundtrip(data, case["codec"])
+        if not args.fast:
+            check_truncation(data, lep, rng)
+            check_bitflip(data, lep, rng)
+        if args.ref_every and idx % args.ref_every == 0:
+            check_reference(data, lep, case, tmpdir)
+    except Exception as e:
+        return "fail", case, (data, e, traceback.format_exc())
+    return "ok", case, None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--n", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ref-every", type=int, default=20,
+                    help="reference cross-check every Nth case (0=never)")
+    ap.add_argument("--fast", action="store_true",
+                    help="roundtrip only (skip truncation/bitflip checks)")
+    ap.add_argument("--out", default="/tmp/soak_failures")
+    args = ap.parse_args()
+
+    import tempfile
+    tmpdir = tempfile.mkdtemp(prefix="soak_")
+    t0 = time.time()
+    fails = skips = 0
+    for i in range(args.n):
+        status, case, detail = run_case(i, args.seed, args, tmpdir)
+        if status == "skip":
+            skips += 1
+        elif status == "fail":
+            fails += 1
+            os.makedirs(args.out, exist_ok=True)
+            stem = os.path.join(args.out, f"case_{args.seed}_{i}")
+            data, exc, tb = detail
+            with open(stem + ".jpg", "wb") as f:
+                f.write(data)
+            with open(stem + ".json", "w") as f:
+                json.dump({"case": case, "seed": args.seed, "index": i,
+                           "error": repr(exc)}, f, indent=1, default=str)
+            print(f"FAIL case {i}: {exc!r}\n  params: {case}\n"
+                  f"  artifacts: {stem}.jpg/.json\n"
+                  f"  repro: python tools/soak.py --seed {args.seed} "
+                  f"--n {i + 1} 2>&1 | tail  # case {i}\n{tb}",
+                  file=sys.stderr)
+        if (i + 1) % 25 == 0:
+            print(f"[{i + 1}/{args.n}] {fails} failures, {skips} skips, "
+                  f"{time.time() - t0:.0f}s", flush=True)
+    print(f"soak done: {args.n} cases, {fails} failures, {skips} skips "
+          f"in {time.time() - t0:.0f}s")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
