@@ -1441,10 +1441,15 @@ static int64_t ans_finish(Coder *c, uint8_t *out, int64_t out_cap) {
     *--wp = (uint32_t)(s2 & 0xFFFFFFFFu);
     int64_t nwords = scratch + max_words - wp;
     int64_t nbytes = nwords * 4;
-    if (nbytes > out_cap) { free(scratch); return -1; }
+    /* the reference copies one word PAST what the encoder wrote
+     * (finish - pptr + 1, ans_bool_writer.hh:108-109): the last nop
+     * pair's raw bytes {val=0,prob=128}x2; reproduce for byte parity */
+    if (nbytes + 4 > out_cap) { free(scratch); return -1; }
     memcpy(out, wp, (size_t)nbytes);   /* little-endian host */
+    out[nbytes] = 0x00; out[nbytes + 1] = 0x80;
+    out[nbytes + 2] = 0x00; out[nbytes + 3] = 0x80;
     free(scratch);
-    return nbytes;
+    return nbytes + 4;
 }
 
 EXPORT int64_t lepton_encode_segment_ans(
@@ -1622,6 +1627,13 @@ EXPORT void lepton_build_huff(HuffTable *ht, const uint8_t *counts,
     for (int sym = 0; sym < 256; ++sym) {
         int ln = ht->clen[sym];
         if (!ln) continue;
+        /* an oversubscribed (corrupt) DHT makes the canonical code
+         * overflow its length; the reference truncates its tree and
+         * treats such codes as dead nodes ("Huffman table out of
+         * space", jpgcoder.cc:5575-5597, accepted for .lep input) --
+         * skipping the LUT fill gives the same dead-path decode and
+         * keeps prefix+span inside lut[65536] */
+        if ((uint32_t)ht->cval[sym] >= (1u << ln)) continue;
         uint32_t prefix = (uint32_t)ht->cval[sym] << (16 - ln);
         uint32_t span = 1u << (16 - ln);
         for (uint32_t i = 0; i < span; ++i)

@@ -92,6 +92,10 @@ class ANSWriter:
         out = bytearray()
         for w in reversed(words):
             out += int(w).to_bytes(4, "little")
+        # the reference copies one word PAST what the encoder wrote
+        # (finish - pptr + 1, ans_bool_writer.hh:108-109), which lands on
+        # the last nop pair's raw bytes; reproduce it for byte parity
+        out += b"\x00\x80\x00\x80"
         return bytes(out)
 
 

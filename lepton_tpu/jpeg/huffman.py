@@ -42,6 +42,11 @@ class HuffCodes:
             ln = clen[sym]
             if ln == 0:
                 continue
+            if cval[sym] >= (1 << ln):
+                # oversubscribed (corrupt) DHT: the reference truncates
+                # its decode tree and leaves these as dead nodes
+                # (jpgcoder.cc:5575-5597); skip = same dead-path decode
+                continue
             prefix = cval[sym] << (16 - ln)
             span = 1 << (16 - ln)
             lut[prefix: prefix + span] = (sym << 5) | ln

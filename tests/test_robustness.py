@@ -169,3 +169,39 @@ def test_truncated_progressive_eobrun_no_hang():
         input=lep, capture_output=True, timeout=120)
     assert r.returncode == 0 and b"terminated" in r.stdout, \
         (r.returncode, r.stderr.decode()[-500:])
+
+
+def test_oversubscribed_dht_no_crash():
+    """A corrupt DHT can oversubscribe the canonical code space (code >=
+    2^len); the 16-bit peek LUT fill must treat those as dead paths like
+    the reference's truncated tree (jpgcoder.cc:5575-5597), not write past
+    lut[65536] (native heap smash found by tools/soak.py seed 11 case 132
+    via a header bit-flip)."""
+    import subprocess
+    import sys as _sys
+
+    from lepton_tpu.jpeg.huffman import HuffCodes
+    # 5 codes of length 1 (max 2): canonical code overflows immediately
+    counts = bytes([5] + [0] * 15)
+    values = bytes([0, 1, 2, 3, 4])
+    hc = HuffCodes(counts, values)
+    assert hc.valid  # lengths exist, even though some paths are dead
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import sys, ctypes; sys.path.insert(0, %r)\n"
+         "from lepton_tpu._native import get_lib\n"
+         "lib = get_lib()\n"
+         "size = lib.lepton_huff_table_size()\n"
+         "buf = ctypes.create_string_buffer(size)\n"
+         "counts = bytes([5] + [0] * 15)\n"
+         "# length-16 codes whose truncated cval still passes bounds\n"
+         "counts2 = bytes([0] * 15 + [255])\n"
+         "vals = bytes(range(255))\n"
+         "lib.lepton_build_huff(buf, counts, vals, 5)\n"
+         "lib.lepton_build_huff(buf, counts2, vals, 255)\n"
+         "print('ok')\n" % repo],
+        capture_output=True, timeout=300)
+    assert r.returncode == 0 and b"ok" in r.stdout, \
+        (r.returncode, r.stderr.decode()[-400:])

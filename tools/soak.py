@@ -177,8 +177,19 @@ def check_reference(data: bytes, lep: bytes, case: dict, tmpdir: str) -> None:
         return
     ref_bytes = open(reflep, "rb").read()
     # the 12-byte git-rev field differs by construction; mask it
-    if len(ref_bytes) != len(lep) or ref_bytes[:4] != lep[:4] or \
-            ref_bytes[16:] != lep[16:]:
+    identical = (len(ref_bytes) == len(lep) and ref_bytes[:4] == lep[:4]
+                 and ref_bytes[16:] == lep[16:])
+    if not identical and codec["version"] >= 2:
+        # v2+ headers are brotli-compressed: the vendored reference
+        # brotli and the system brotli may pick different (equivalent)
+        # representations.  Require the decompressed header block and
+        # the mux region to be byte-identical instead.
+        from lepton_tpu.container.format import read_container
+        ha, ma = read_container(lep)
+        hb, mb = read_container(ref_bytes)
+        identical = (ma == mb and ha.hdrdata == hb.hdrdata
+                     and vars(ha).keys() == vars(hb).keys())
+    if not identical:
         raise AssertionError(
             f"encode differs from reference: {len(lep)} vs "
             f"{len(ref_bytes)} bytes (cmd {' '.join(flags)})")
@@ -191,6 +202,47 @@ def check_reference(data: bytes, lep: bytes, case: dict, tmpdir: str) -> None:
                        capture_output=True, timeout=300)
     if r.returncode != 0 or open(out, "rb").read() != data:
         raise AssertionError("reference failed to cross-decode our .lep")
+
+
+def check_aux_paths(data: bytes, lep: bytes, case: dict,
+                    rng: random.Random) -> None:
+    """Sampled coverage of the product paths beyond plain compress():
+    streaming decode, concatenated decode, UJG, the permissive wrapper,
+    and truncated-JPEG (early-EOF / EEE) roundtrips."""
+    from lepton_tpu import api
+
+    draw = rng.random()
+    if draw < 0.25:
+        # O(width) streaming decode must agree byte-for-byte
+        if api.decompress_streaming(lep) != data:
+            raise AssertionError("decompress_streaming != decompress")
+    elif draw < 0.40:
+        # -lepcat: two containers back to back decode to the two files
+        if api.decompress_all(lep + lep) != data + data:
+            raise AssertionError("concatenated decode mismatch")
+    elif draw < 0.55:
+        ujg = api.ujg_compress(data,
+                               allow_progressive=case["codec"]
+                               ["allow_progressive"])
+        if api.ujg_decompress(ujg) != data:
+            raise AssertionError("UJG roundtrip mismatch")
+    elif draw < 0.70:
+        blob = bytes(rng.randrange(256)
+                     for _ in range(rng.randrange(0, 2048)))
+        wrapped = api.compress_any(blob, permissive=True, verify=True)
+        if api.decompress(wrapped) != blob:
+            raise AssertionError("permissive wrapper roundtrip mismatch")
+    else:
+        # truncated JPEG: if the cut still compresses, EEE bookkeeping
+        # must reproduce the truncated bytes exactly (jpgcoder.cc EEE)
+        cut = rng.randrange(len(data) // 2, len(data))
+        trunc = data[:cut]
+        try:
+            tlep = compress(trunc, **case["codec"])
+        except Exception:
+            return  # clean rejection of an unparseable slice is fine
+        if decompress(tlep) != trunc:
+            raise AssertionError(f"truncated-JPEG roundtrip at {cut}")
 
 
 def run_case(idx: int, base_seed: int, args, tmpdir: str):
@@ -206,6 +258,7 @@ def run_case(idx: int, base_seed: int, args, tmpdir: str):
         if not args.fast:
             check_truncation(data, lep, rng)
             check_bitflip(data, lep, rng)
+            check_aux_paths(data, lep, case, rng)
         if args.ref_every and idx % args.ref_every == 0:
             check_reference(data, lep, case, tmpdir)
     except Exception as e:
