@@ -119,7 +119,7 @@ def parse_jpeg(data: bytes, embedding: int = 0) -> ParsedJpeg:
                 break
         else:
             if pos + 2 > n:
-                break
+                raise JpegParseError("unexpected end of data in header")
             if data[pos] != 0xFF:
                 raise JpegParseError(
                     f"size mismatch in marker segment FF {seg_type:02x}")
@@ -128,15 +128,21 @@ def parse_jpeg(data: bytes, embedding: int = 0) -> ParsedJpeg:
             if seg_type == 0xD9:  # EOI
                 eoi_pos = pos - 2
                 break
-        # common: read segment body for non-EOI markers
+        # common: read segment body for non-EOI markers.  EOF inside a
+        # header segment is a hard reject: the reference only crystallizes
+        # hdrs/hufs at EOI (standard_eof) or mid-scan EOF (early_eof), so
+        # any header-mode EOF leaves hdrs==0 -> "unexpected end of data
+        # encountered in header" -> UNSUPPORTED_JPEG (jpgcoder.cc:2398,
+        # 2425-2429; found by tools/soak.py: we used to accept truncated
+        # inter-scan DHTs and then mis-roundtrip them)
         if seg_type == 0xDA or seg_type != 0xD9:
             if pos + 2 > n:
-                break
+                raise JpegParseError("unexpected end of data in header")
             length = 2 + (data[pos] << 8) + data[pos + 1]
             if length < 4:
-                break
+                raise JpegParseError("bad marker segment length")
             if pos - 2 + length > n:
-                break
+                raise JpegParseError("unexpected end of data in header")
             hdr += data[pos - 2: pos - 2 + length]
             pos += length - 2
 

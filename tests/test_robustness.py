@@ -205,3 +205,31 @@ def test_oversubscribed_dht_no_crash():
         capture_output=True, timeout=300)
     assert r.returncode == 0 and b"ok" in r.stdout, \
         (r.returncode, r.stderr.decode()[-400:])
+
+
+def test_header_truncation_rejected_scan_truncation_accepted():
+    """The reference crystallizes header/huffman data only at EOI or at a
+    mid-scan EOF (standard_eof/early_eof, jpgcoder.cc:2398,2315-2334); an
+    EOF inside a header segment leaves hdrs==0 and rejects the file with
+    UNSUPPORTED_JPEG.  We used to accept header-truncated JPEGs and then
+    mis-roundtrip them (tools/soak.py seed 23)."""
+    from lepton_tpu.util.exitcodes import ExitCode, classify
+
+    from lepton_tpu.jpeg.parser import parse_jpeg
+
+    data = open(os.path.join(IMAGES, "nofsync.jpg"), "rb").read()
+    # the parser records (huffdata_pos -> file_pos): entry 0 is the first
+    # scan byte, so anything before it is header territory
+    scan_start = parse_jpeg(data).huff_input_offsets[0][1]
+    for cut in (scan_start - 40, scan_start - 5, scan_start - 1):
+        try:
+            compress(data[:cut])
+            raise AssertionError(f"header cut at {cut} was accepted")
+        except AssertionError:
+            raise
+        except Exception as e:
+            assert classify(e) == ExitCode.UNSUPPORTED_JPEG, (cut, e)
+    # mid-scan cuts keep the reference's early-EOF (EEE) contract
+    for cut in (scan_start + 100, len(data) - 50):
+        trunc = data[:cut]
+        assert decompress(compress(trunc)) == trunc, cut
