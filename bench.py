@@ -210,10 +210,12 @@ def measure_reference_live(our_sizes=None):
 
 
 def bench_ans_v3():
-    """Native rANS backend (format v3) roundtrip on one mid-size image."""
+    """Native rANS backend (format v3) roundtrip on one mid-size image.
+    slrhills (3.09MB) keeps per-call overhead out of the number; the tiny
+    iphonecrop made this submetric swing ~30% run to run."""
     try:
         from lepton_tpu.api import compress, decompress
-        path = os.path.join(IMAGES_DIR, "iphonecrop.jpg")
+        path = os.path.join(IMAGES_DIR, "slrhills.jpg")
         data = open(path, "rb").read()
         lep = compress(data, version=3)
         assert decompress(lep) == data
@@ -240,7 +242,8 @@ def bench_ans_v3():
             try:
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    subprocess.run([refbin, "-skipverify", "-unjailed",
+                    subprocess.run([refbin, "-ans", "-skipverify",
+                                    "-unjailed",
                                     path, "/tmp/_bench_ans.lep"],
                                    capture_output=True, timeout=600,
                                    check=True)
