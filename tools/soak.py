@@ -98,14 +98,49 @@ def gen_case(rng: random.Random) -> dict:
         "allow_progressive": progressive,
         "allow_four_colors": mode == "CMYK",
     }
-    return {"mode": mode, "w": w, "h": h, "save": save, "codec": codec}
+    return {"mode": mode, "w": w, "h": h, "save": save, "codec": codec,
+            "dqt16": rng.random() < 0.1}
+
+
+def rewrite_dqt_16bit(data: bytes) -> bytes:
+    """Re-encode every 8-bit DQT segment as 16-bit (same values, so scan
+    data stays valid) -- covers the reference's Pq=1 parsing path, which
+    PIL never emits (tests/test_synthetic_corpus.py:101)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] == 0xDB:
+            ln = (data[pos + 2] << 8) | data[pos + 3]
+            seg = data[pos + 4:pos + 2 + ln]
+            new = bytearray()
+            i = 0
+            while i < len(seg):
+                pq_tq = seg[i]
+                if pq_tq >> 4 != 0:   # already 16-bit; keep as-is
+                    new += seg[i:i + 129]
+                    i += 129
+                    continue
+                new.append(0x10 | (pq_tq & 0x0F))
+                for v in seg[i + 1:i + 65]:
+                    new += bytes([0, v])
+                i += 65
+            out += b"\xff\xdb" + (len(new) + 2).to_bytes(2, "big") + new
+            pos += 2 + ln
+        else:
+            out.append(data[pos])
+            pos += 1
+    out.append(data[-1])
+    return bytes(out)
 
 
 def make_jpeg(case: dict, rng: random.Random) -> bytes:
     img = gen_image(rng, case["w"], case["h"], case["mode"])
     buf = io.BytesIO()
     img.save(buf, "JPEG", **case["save"])
-    return buf.getvalue()
+    data = buf.getvalue()
+    if case.get("dqt16"):
+        data = rewrite_dqt_16bit(data)
+    return data
 
 
 def check_roundtrip(data: bytes, codec: dict) -> bytes:
