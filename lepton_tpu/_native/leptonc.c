@@ -2854,6 +2854,31 @@ static void jail_sigsys_report(int sig, siginfo_t *info, void *ctx) {
     _exit(159);
 }
 
+#ifndef SECCOMP_SET_MODE_FILTER
+#define SECCOMP_SET_MODE_FILTER 1
+#endif
+#ifndef SECCOMP_FILTER_FLAG_TSYNC
+#define SECCOMP_FILTER_FLAG_TSYNC 1UL
+#endif
+
+#include <errno.h>
+/* Attach a filter to EVERY thread in the process, not just the caller:
+ * the pre-jail warm pool (api._warm_pool) is spawned before the jail
+ * and then runs the segment codecs over untrusted input, and
+ * prctl(PR_SET_SECCOMP) binds only the calling thread.  seccomp(2) with
+ * TSYNC also propagates no_new_privs to the synced threads.  Falls back
+ * to prctl on pre-3.17 kernels (single-thread bind, as before). */
+static int jail_attach_all_threads(struct sock_fprog *fprog) {
+    if (prctl(PR_SET_NO_NEW_PRIVS, 1, 0, 0, 0) != 0) return -1;
+    long r = syscall(__NR_seccomp, SECCOMP_SET_MODE_FILTER,
+                     SECCOMP_FILTER_FLAG_TSYNC, fprog);
+    if (r == 0) return 0;
+    if (r < 0 && errno == ENOSYS)
+        return prctl(PR_SET_SECCOMP, SECCOMP_MODE_FILTER, fprog) != 0
+            ? -2 : 0;
+    return -2;
+}
+
 /* trap mode: report the banned syscall number on stderr, then exit
  * (debug aid; KILL mode is the production contract) */
 EXPORT int lepton_install_jail_trap(void);
@@ -2913,9 +2938,7 @@ static int lepton_install_jail_mode(unsigned deny_action) {
     prog[p++] = (struct sock_filter)BPF_STMT(
         BPF_RET | BPF_K, deny_action);
     struct sock_fprog fprog = { (unsigned short)p, prog };
-    if (prctl(PR_SET_NO_NEW_PRIVS, 1, 0, 0, 0) != 0) return -1;
-    if (prctl(PR_SET_SECCOMP, SECCOMP_MODE_FILTER, &fprog) != 0) return -2;
-    return 0;
+    return jail_attach_all_threads(&fprog);
 }
 
 EXPORT int lepton_jail_supported(void) { return 1; }
@@ -2941,9 +2964,7 @@ EXPORT int lepton_install_jail_stage2(void) {
     };
     struct sock_fprog fprog = {
         sizeof(prog) / sizeof(prog[0]), prog };
-    if (prctl(PR_SET_NO_NEW_PRIVS, 1, 0, 0, 0) != 0) return -1;
-    if (prctl(PR_SET_SECCOMP, SECCOMP_MODE_FILTER, &fprog) != 0) return -2;
-    return 0;
+    return jail_attach_all_threads(&fprog);
 }
 
 /* Pre-grow the glibc heap by `bytes` of touched pages and pin it there

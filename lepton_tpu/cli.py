@@ -375,6 +375,8 @@ def _prepare_for_jail(opts) -> None:
     transcode path can touch: inside the jail openat/exec are banned, so
     all code and data must be resident first (the reference preallocates
     memory and spawns workers before installing seccomp)."""
+    from .util import timing
+    _tsnap = timing.snapshot()           # warm-up marks are dropped below
     import concurrent.futures            # noqa: F401
     import zlib                          # noqa: F401
     from . import api                    # noqa: F401
@@ -420,9 +422,9 @@ def _prepare_for_jail(opts) -> None:
     except Exception:
         pass
     # the warm-up roundtrip stamped the first-write-wins timing matrix;
-    # drop its events so -timing= records the real transcode
-    from .util import timing
-    timing.reset()
+    # drop its marks (restore the pre-warm-up snapshot, keeping earlier
+    # TS_MAIN/read-stage marks) so -timing= records the real transcode
+    timing.restore(_tsnap)
 
 
 def _print_bill(jpeg_data: bytes, lep_data: bytes) -> None:

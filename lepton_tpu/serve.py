@@ -61,14 +61,35 @@ def _handle(conn: socket.socket, opts, zlib_wrap: bool) -> None:
     conn.close()
 
 
+def _host_fallback(data: bytes, opts) -> bytes:
+    """Degrade one request to the host codec (tpu forced off); a request
+    that still fails gets the zero-byte reply (the reference's output
+    contract).  SystemExit (e.g. the -recodememory exit-38 path) must
+    not escape: in the fork server it only kills the child, but here it
+    would take down the whole single-process server."""
+    from .cli import _process
+    try:
+        out, _ = _process(data, dict(opts, tpu=False))
+        return out
+    except (Exception, SystemExit):
+        if opts.get("permissive"):
+            from .api import generic_compress
+            try:
+                return generic_compress(data)
+            except Exception:
+                pass
+        return b""
+
+
 def _process_tpu_batch(reqs, opts) -> None:
     """Transcode a batch of drained requests through the accelerator:
     all JPEG requests' segments become coder lanes of ONE
     batch_compress_tpu invocation (the serving-throughput design point);
     lepton requests decode via the TPU token parser.  Verify-by-default
     runs the independent host decoder per request; any failure degrades
-    that request to the host path, and a request that still fails gets
-    the zero-byte reply (the reference's output contract).
+    that request to the HOST path (tpu off, so a flapping tunnel or a
+    batch-poisoning input cannot re-fail the fallback), and a request
+    that still fails gets the zero-byte reply.
 
     reqs: list of [conn, zlib_wrap, data, out] (out filled in place).
     """
@@ -82,8 +103,9 @@ def _process_tpu_batch(reqs, opts) -> None:
         try:
             outs = batch_compress_tpu(
                 [r[2] for r in jpegs],
-                num_segments=opts.get("max_threads", 16))
-        except Exception:
+                num_segments=opts.get("max_threads", 16),
+                allow_progressive=opts.get("allow_progressive", False))
+        except (Exception, SystemExit):
             outs = None
     for i, r in enumerate(jpegs):
         out = b""
@@ -96,24 +118,63 @@ def _process_tpu_batch(reqs, opts) -> None:
                 except Exception:
                     out = b""
         if not out:
-            try:
-                out, _ = _process(r[2], opts)
-            except Exception:
-                out = b""
+            out = _host_fallback(r[2], opts)
         r[3] = out
     for r in others:
         try:
-            out, _ = _process(r[2], opts)
-        except Exception:
-            if opts.get("permissive"):
-                from .api import generic_compress
-                try:
-                    out = generic_compress(r[2])
-                except Exception:
-                    out = b""
-            else:
-                out = b""
+            out, _ = _process(r[2], opts)   # accelerated decode path
+        except (Exception, SystemExit):
+            out = _host_fallback(r[2], opts)
         r[3] = out
+
+
+_tpu_down_until = 0.0
+
+
+def _process_batch_bounded(reqs, opts) -> None:
+    """Run the accelerator batch under a deadline.  A HUNG device
+    runtime (e.g. a dead TPU tunnel) never raises, so exception-based
+    fallback alone would block the whole server on the first batch:
+    the batch runs in a daemon thread with a wall-clock budget
+    (LEPTON_TPU_BATCH_TIMEOUT_S, default 180 -- cold compiles are slow)
+    and on timeout every request degrades to the host codec while a
+    cooldown (LEPTON_TPU_COOLDOWN_S, default 300) routes subsequent
+    batches straight to the host before the accelerator is retried."""
+    global _tpu_down_until
+    import threading
+    import time
+
+    now = time.monotonic()
+    if now < _tpu_down_until:
+        for r in reqs:
+            r[3] = _host_fallback(r[2], opts)
+        return
+    # the worker gets its own result slots: if it wakes up after the
+    # deadline it must not scribble over replies already sent
+    work = [[None, r[1], r[2], b""] for r in reqs]
+
+    def _run():
+        try:
+            _process_tpu_batch(work, opts)
+        except (Exception, SystemExit) as e:
+            sys.stderr.write(f"tpu batch failed: {e!r}\n")
+            for w in work:
+                if not w[3]:
+                    w[3] = _host_fallback(w[2], opts)
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(float(os.environ.get("LEPTON_TPU_BATCH_TIMEOUT_S", 180)))
+    if t.is_alive():
+        cooldown = float(os.environ.get("LEPTON_TPU_COOLDOWN_S", 300))
+        _tpu_down_until = time.monotonic() + cooldown
+        sys.stderr.write(f"tpu batch timed out; serving from the host "
+                         f"path for {cooldown:.0f}s\n")
+        for r in reqs:
+            r[3] = _host_fallback(r[2], opts)
+    else:
+        for r, w in zip(reqs, work):
+            r[3] = w[3]
 
 
 def _serve_tpu(socks, opts) -> int:
@@ -145,16 +206,22 @@ def _serve_tpu(socks, opts) -> int:
             except InterruptedError:
                 ready = []
         reqs = []
+        # a stalled peer must not freeze the whole single-process loop:
+        # bound each request read (the fork path bounds children via
+        # -timebound= setitimer instead)
+        read_timeout = (opts["timebound_ms"] / 1000.0
+                        if opts.get("timebound_ms") else 10.0)
         for conn, zw in batch:
             chunks = []
             try:
+                conn.settimeout(read_timeout)
                 while True:
                     b = conn.recv(65536)
                     if not b:
                         break
                     chunks.append(b)
-            except OSError:
-                pass
+            except OSError:     # includes socket.timeout: drop request
+                chunks = []
             data = b"".join(chunks)
             if zw:
                 try:
@@ -162,9 +229,14 @@ def _serve_tpu(socks, opts) -> int:
                 except Exception:
                     data = b""
             reqs.append([conn, zw, data, b""])
-        _process_tpu_batch(reqs, opts)
+        try:
+            _process_batch_bounded(reqs, opts)
+        except (Exception, SystemExit) as e:   # keep the server alive
+            sys.stderr.write(f"tpu batch failed: {e!r}\n")
         for conn, zw, _, out in reqs:
-            if zw:
+            if zw and out:
+                # failures stay zero-byte on the zlib port too: an empty
+                # reply is the failure contract, zlib.compress(b"") isn't
                 out = _zlib.compress(out)
             try:
                 conn.sendall(out)

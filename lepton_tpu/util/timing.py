@@ -97,3 +97,17 @@ def reset() -> None:
     for row in _matrix:
         for i in range(len(row)):
             row[i] = 0.0
+
+
+def snapshot():
+    """Capture the matrix + event log, so a scoped activity (e.g. the
+    pre-jail warm-up roundtrip) can be discarded with restore() without
+    also wiping marks recorded before it (TS_MAIN, read stages)."""
+    return [row[:] for row in _matrix], _events[:]
+
+
+def restore(snap) -> None:
+    matrix, events = snap
+    for row, src in zip(_matrix, matrix):
+        row[:] = src
+    _events[:] = events

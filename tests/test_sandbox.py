@@ -78,6 +78,39 @@ def test_injectsyscall_mmap_killed_stage2(tmp_path):
 
 
 @jail
+def test_jail_covers_preexisting_threads():
+    """The filter must bind threads spawned BEFORE install_jail: the
+    pre-jail warm pool (api._warm_pool) runs the segment codecs over
+    untrusted input, and prctl(PR_SET_SECCOMP) binds only the calling
+    thread.  install_jail uses seccomp(2)+TSYNC so a banned syscall
+    from a pre-existing thread still kills the process (the reference
+    spawns GenericWorkers pre-seccomp and relies on the same per-thread
+    coverage, generic_worker.cc:97-100 + Seccomp.cc)."""
+    code = (
+        "import sys, threading\n"
+        f"sys.path.insert(0, {REPO!r})\n"
+        "from lepton_tpu.util import sandbox\n"
+        "ready = threading.Event(); go = threading.Event()\n"
+        "def worker():\n"
+        "    ready.set()\n"
+        "    go.wait(10)\n"
+        "    sandbox.inject_syscall()  # banned: must kill the process\n"
+        "t = threading.Thread(target=worker); t.start()\n"
+        "ready.wait(10)\n"
+        "assert sandbox.install_jail()\n"
+        "go.set(); t.join(10)\n"
+        "print('survived')  # only reachable if the thread escaped\n"
+    )
+    env = dict(os.environ)
+    env.pop("LEPTON_JAIL_MODE", None)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       env=env, timeout=120)
+    assert r.returncode in (-signal.SIGSYS, 159), (r.returncode, r.stdout,
+                                                   r.stderr)
+    assert b"survived" not in r.stdout
+
+
+@jail
 def test_injectsyscall_survives_unjailed(tmp_path):
     src = os.path.join(IMAGES, "nofsync.jpg")
     r = _run(["-unjailed", "-injectsyscall=1", src, str(tmp_path / "x.lep")])

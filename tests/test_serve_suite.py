@@ -166,6 +166,46 @@ def test_concurrent_connections(server):
     assert results[0] == results[2] == results[4]
 
 
+def test_tpu_batch_bounded_degrades_to_host(monkeypatch):
+    """A HUNG accelerator runtime (dead TPU tunnel) never raises, so the
+    batch must run under a wall-clock budget: on timeout every request
+    degrades to the host codec (valid reply, not zero-byte), a cooldown
+    routes later batches straight to the host, and failures keep the
+    zero-byte contract."""
+    import time
+    from lepton_tpu import serve
+    with open(os.path.join(IMAGES, "nofsync.jpg"), "rb") as f:
+        jpeg = f.read()
+    opts = dict(singlethread=False, allow_progressive=False, verify=True,
+                permissive=False, even_split=False, max_threads=8,
+                min_threads=1, version=1, lepcat=False, verbosity=0,
+                overwrite=False, tpu=True)
+
+    def hung_batch(reqs, o):
+        time.sleep(60)
+    monkeypatch.setattr(serve, "_process_tpu_batch", hung_batch)
+    monkeypatch.setenv("LEPTON_TPU_BATCH_TIMEOUT_S", "1")
+    monkeypatch.setattr(serve, "_tpu_down_until", 0.0)
+
+    reqs = [[None, False, jpeg, b""], [None, False, b"not a jpeg", b""]]
+    t0 = time.time()
+    serve._process_batch_bounded(reqs, opts)
+    elapsed = time.time() - t0
+    assert elapsed < 30, "budget not enforced"
+    from lepton_tpu.api import decompress
+    assert decompress(reqs[0][3]) == jpeg     # host-path reply, valid
+    assert reqs[1][3] == b""                  # zero-byte failure contract
+    assert serve._tpu_down_until > time.monotonic()  # cooldown armed
+
+    # while the cooldown holds, the batch path is never tried at all
+    called = []
+    monkeypatch.setattr(serve, "_process_tpu_batch",
+                        lambda r, o: called.append(1))
+    reqs2 = [[None, False, jpeg, b""]]
+    serve._process_batch_bounded(reqs2, opts)
+    assert not called and decompress(reqs2[0][3]) == jpeg
+
+
 def test_serving_decode_defaults_to_streaming(monkeypatch):
     """Serving decodes O(width) by default: the lepton branch of
     cli._process must route single containers through
