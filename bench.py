@@ -480,6 +480,12 @@ def bench_tpu_batch_encode():
             outs = batch_compress_tpu(blobs, num_segments=16,
                                       allow_progressive=True)
             best = min(best, time.perf_counter() - t0)
+        # stage breakdown of the LAST warm run: where the wall-clock
+        # goes (dispatch is async, so device compute surfaces inside
+        # the blocking counts/nbytes/output fetches; over the tunnel
+        # those fetches are round-trip-bound, not compute-bound)
+        from lepton_tpu.kernels.encode_pipeline import LAST_PROFILE
+        stages = {k: round(v, 2) for k, v in LAST_PROFILE.items()}
         mismatch = []
         for name, b, o in zip(names, blobs, outs):
             if decompress(o) != b:
@@ -490,6 +496,7 @@ def bench_tpu_batch_encode():
                     files=len(blobs), corpus_mb=round(mb, 1),
                     cold_s=round(cold, 1), warm_s=round(best, 1),
                     encode_mbps=round(mb / best, 2),
+                    stages_last_run_s=stages,
                     byte_identical=not mismatch, mismatches=mismatch)
     except Exception as e:
         return dict(error=repr(e)[:200])

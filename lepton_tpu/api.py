@@ -890,6 +890,8 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
                          allow_progressive=allow_progressive)
                 for b in jpeg_blobs]
 
+    import time as _time
+    _t0 = _time.time()
     descs = []
     metas = []
     for data in jpeg_blobs:
@@ -912,7 +914,10 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
             color_index=(lambda c: 0 if c == 0 else 1)))
         metas.append((parsed, dec, splits, num_threads))
     _apply_model_env()
+    _t_parse = _time.time() - _t0
     all_streams = encode_images_device(descs, window=window)
+    from .kernels import encode_pipeline as _ep
+    _ep.LAST_PROFILE["host_jpeg_parse"] = _t_parse
 
     out = []
     for (parsed, dec, splits, num_threads), streams in zip(metas,

@@ -18,6 +18,11 @@ from ..codec.driver import row_spec_from_index
 from .symbolize import BLOCK_SLOTS, symbolize_slice
 from .vpx_scan import PAD
 
+# coarse stage seconds of the most recent encode_images_device call
+# (bench.py reports this as the batch wall-clock breakdown; dispatch is
+# async, so device compute surfaces inside the blocking fetch stages)
+LAST_PROFILE: dict = {}
+
 
 def plan_rows(heights: Sequence[int], mcuv: int,
               max_coded_heights: Sequence[int],
@@ -440,6 +445,7 @@ def encode_images_device(images, window: int = 32):
     Returns list (per image) of per-segment stream bytes.
     """
     import os
+    import sys as _sys
     import time as _time
 
     import jax
@@ -451,13 +457,21 @@ def encode_images_device(images, window: int = 32):
     from .vpx_scan import FIXED_PROB, PAD
 
     prof = os.environ.get("LEPTON_TPU_PROFILE") == "1"
+    LAST_PROFILE.clear()
     _t = [_time.time()]
 
-    def mark(label):
+    def mark(label, key=None):
+        # always accumulate coarse stage seconds into LAST_PROFILE so
+        # bench.py can report WHERE batch wall-clock goes (dispatch is
+        # async: device compute surfaces inside the blocking fetches)
+        now = _time.time()
+        dt = now - _t[0]
+        _t[0] = now
+        k = key or label
+        LAST_PROFILE[k] = LAST_PROFILE.get(k, 0.0) + dt
         if prof:
-            now = _time.time()
-            print(f"  [tpu-batch] {label}: {now - _t[0]:.2f}s", flush=True)
-            _t[0] = now
+            print(f"  [tpu-batch] {label}: {dt:.2f}s", file=_sys.stderr,
+                  flush=True)
 
     # group same-geometry/same-qtable images so symbolization runs as ONE
     # vmapped dispatch per (group, component) and compaction as one call
@@ -499,7 +513,7 @@ def encode_images_device(images, window: int = 32):
             return
         allc = jnp.concatenate([p[5].reshape(-1) for p in pending])
         allc_host = np.asarray(allc)       # ONE fetch for the wave
-        mark(f"counts-fetch x{len(pending)}")
+        mark(f"counts-fetch x{len(pending)}", key="counts_fetch")
         off = 0
         for part, c, H, idx, bit, _ in pending:
             n = len(part) * H
@@ -518,7 +532,7 @@ def encode_images_device(images, window: int = 32):
             base += _bucket(max(total, 1))
         pending.clear()
         wave_bytes = 0
-        mark("compact")
+        mark("compact", key="compact_dispatch")
 
     for key, members in groups.items():
         ncomp = len(key)
@@ -545,7 +559,8 @@ def encode_images_device(images, window: int = 32):
                     for y in tops[c]:
                         rha[g, y] = False
                     csv[g] = images[d]["component_sizes"][c]
-                mark(f"host-prep g{len(packed_parts) + len(pending)}")
+                mark(f"host-prep g{len(packed_parts) + len(pending)}",
+                     key="host_prep")
                 coefs_dev = jnp.asarray(coefs)
                 idx, bit = _vmapped_symbolize(ci, icx, icy, mnt)(
                     coefs_dev, quant, jnp.asarray(rha),
@@ -581,7 +596,7 @@ def encode_images_device(images, window: int = 32):
             lane_total.append(dst)
             lane_owner.append((d, si))
     S = len(lane_runs)
-    mark("run-plan")
+    mark("run-plan", key="run_plan")
 
     # ---- phase-B length pooling: work is S_pool * Lmax_pool, so one
     # long lane (a big image's segment) must not pad every short lane to
@@ -644,7 +659,7 @@ def encode_images_device(images, window: int = 32):
         fetches.append((members, bc16, nbytes))
         if prof:
             np.asarray(nbytes[0])
-            mark(f"pool S={Sp} Lmax={Lmax} dispatched")
+        mark(f"pool S={Sp} Lmax={Lmax} dispatched", key="pool_dispatch")
 
     out = [[] for _ in images]
     results = {}
@@ -652,7 +667,7 @@ def encode_images_device(images, window: int = 32):
     # (each pool's slice width depends on its own max count)
     all_nb = np.asarray(jnp.concatenate(
         [nbytes for _, _, nbytes in fetches])) if fetches else np.zeros(0)
-    mark("nbytes-fetch")
+    mark("nbytes-fetch", key="nbytes_fetch")
     nb_off = 0
     sliced = []
     for members, bc16, nbytes in fetches:
@@ -662,7 +677,8 @@ def encode_images_device(images, window: int = 32):
         sliced.append((members, nb, bc16[:, :maxb]))
     for (members, nb, dev_slice) in sliced:
         bch = np.asarray(dev_slice)
-        mark(f"output-fetch {len(members)}x{bch.shape[1]}")
+        mark(f"output-fetch {len(members)}x{bch.shape[1]}",
+             key="output_fetch")
         for s_i, lane in enumerate(members):
             n = int(nb[s_i])
             row = bch[s_i, :n]
@@ -680,4 +696,5 @@ def encode_images_device(images, window: int = 32):
     for lane in range(S):
         d, si = lane_owner[lane]
         out[d].append(results[lane])
+    mark("host-finalize", key="host_finalize")
     return out
