@@ -502,6 +502,37 @@ def bench_tpu_batch_encode():
         return dict(error=repr(e)[:200])
 
 
+LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_TPU_LKG.json")
+
+
+def _update_lkg(subs: dict) -> dict:
+    """Persist every on-silicon submetric that succeeded to
+    BENCH_TPU_LKG.json (last-known-good).  The axon tunnel FLAPS for
+    minutes at a time (observed r3); if it is down when the round-end
+    bench runs, the artifact would otherwise lose the silicon evidence
+    this round measured.  Returns the merged LKG store."""
+    lkg = {}
+    try:
+        with open(LKG_PATH) as f:
+            lkg = json.load(f)
+    except Exception:
+        pass
+    changed = False
+    for k, v in subs.items():
+        if isinstance(v, dict) and "error" not in v \
+                and v.get("backend") == "tpu":
+            lkg[k] = dict(v, measured_at=time.strftime("%Y-%m-%d %H:%M"))
+            changed = True
+    if changed:
+        try:
+            with open(LKG_PATH, "w") as f:
+                json.dump(lkg, f, indent=1)
+        except Exception:
+            pass
+    return lkg
+
+
 def main():
     host = bench_host()
     lep_sizes = host.pop("lep_sizes", {})
@@ -543,6 +574,18 @@ def main():
         "tpu_batch_encode": tpu_be,
         "tpu_decode": tpu_d,
     }
+    subs = {"tpu_phase_a": tpu, "tpu_phase_b": tpu_b,
+            "tpu_e2e_encode": tpu_e, "tpu_batch_encode": tpu_be,
+            "tpu_decode": tpu_d}
+    lkg = _update_lkg(subs)
+    failed = [k for k, v in subs.items()
+              if not isinstance(v, dict) or "error" in v
+              or v.get("backend") != "tpu"]
+    if failed and lkg:
+        # the tunnel is down or flapped mid-run: carry the most recent
+        # on-silicon measurements, clearly dated, for the failed slots
+        result["tpu_last_known_good"] = {
+            k: lkg[k] for k in failed if k in lkg}
     print(json.dumps(result))
 
 
