@@ -330,6 +330,33 @@ def main(argv=None) -> int:
     return 0
 
 
+def _run_tpu_bounded(fn):
+    """Run an accelerator-path callable under a wall-clock budget
+    (LEPTON_TPU_TIMEOUT_S, default 600 -- slow-compile episodes through
+    the tunnel reach minutes).  A HUNG device runtime never raises, so
+    without the budget a dead TPU tunnel hangs the one-shot CLI forever;
+    on timeout the caller degrades to the host codec.  The worker is a
+    daemon thread: process exit reaps it."""
+    import threading
+    budget = float(os.environ.get("LEPTON_TPU_TIMEOUT_S", 600))
+    box = {}
+
+    def run():
+        try:
+            box["out"] = fn()
+        except BaseException as e:
+            box["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(budget)
+    if "out" in box:
+        return box["out"]
+    if "err" in box:
+        raise box["err"]
+    raise TimeoutError(f"accelerator path exceeded {budget:.0f}s")
+
+
 def _install_jail_and_inject(opts, encode_side: bool) -> None:
     """Install the default-on seccomp jail (after pre-loading everything
     the transcode needs) and arm any -injectsyscall= fault injection."""
@@ -544,9 +571,8 @@ def _process(data: bytes, opts) -> tuple:
         use_tpu = opts.get("tpu") and not (
             opts.get("start_byte") or opts.get("embedding")
             or opts.get("allow_34_sampling") or opts["even_split"])
-        out = compress_any(
-            data, permissive=opts["permissive"], verify=opts["verify"],
-            engine="tpu" if use_tpu else "host",
+        kwargs = dict(
+            permissive=opts["permissive"], verify=opts["verify"],
             max_threads=opts["max_threads"], min_threads=opts["min_threads"],
             even_split=opts["even_split"],
             allow_progressive=opts["allow_progressive"],
@@ -555,7 +581,14 @@ def _process(data: bytes, opts) -> tuple:
             embedding=opts.get("embedding", 0),
             allow_four_colors=opts.get("allow_four_colors", False),
             allow_34_sampling=opts.get("allow_34_sampling", False))
-        return out, "jpeg"
+        if use_tpu:
+            try:
+                return _run_tpu_bounded(lambda: compress_any(
+                    data, engine="tpu", **kwargs)), "jpeg"
+            except Exception as e:
+                _err(f"tpu encode failed ({type(e).__name__}: {e}); "
+                     "falling back to the host codec")
+        return compress_any(data, engine="host", **kwargs), "jpeg"
     if kind == "ujg":
         from .api import ujg_decompress
         return ujg_decompress(data), "lepton"
@@ -577,7 +610,12 @@ def _process(data: bytes, opts) -> tuple:
         # host); multi-container concatenations fall back to the host
         from .api import decompress_tpu, _container_end
         if _container_end(data, 0) == len(data):
-            return decompress_tpu(data), "lepton"
+            try:
+                return _run_tpu_bounded(
+                    lambda: decompress_tpu(data)), "lepton"
+            except Exception as e:
+                _err(f"tpu decode failed ({type(e).__name__}: {e}); "
+                     "falling back to the host decoder")
         return decompress_all(data), "lepton"
     if kind == "lepton":
         if opts.get("recodememory"):
