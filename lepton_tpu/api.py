@@ -390,7 +390,8 @@ def decompress(lep_data: bytes, _state: Optional[dict] = None) -> bytes:
         return recode_progressive_jpeg(
             hdr.hdrdata, planes, info2, hdr.padbit, hdr.rst_cnt,
             hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
-            hdr.prefix_garbage, hdr.embedded_jpeg)
+            hdr.prefix_garbage, hdr.embedded_jpeg,
+            truncated=hdr.early_eof)
     out = recode_baseline_jpeg(
         hdr.hdrdata, planes, handoffs, info2, hdr.padbit,
         hdr.rst_cnt, hdr.rst_cnt_set, hdr.rst_err, hdr.garbage,
@@ -479,7 +480,8 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
         return recode_progressive_jpeg(
             hdr.hdrdata, planes, info2, hdr.padbit, hdr.rst_cnt,
             hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
-            hdr.prefix_garbage, hdr.embedded_jpeg)
+            hdr.prefix_garbage, hdr.embedded_jpeg,
+            truncated=hdr.early_eof)
     return recode_baseline_jpeg(
         hdr.hdrdata, planes, handoffs, info2, hdr.padbit,
         hdr.rst_cnt, hdr.rst_cnt_set, hdr.rst_err, hdr.garbage,
@@ -742,7 +744,8 @@ def ujg_decompress(ujg_data: bytes) -> bytes:
         return recode_progressive_jpeg(
             hdr.hdrdata, planes, info2, hdr.padbit, hdr.rst_cnt,
             hdr.rst_cnt_set, hdr.rst_err, hdr.garbage, hdr.original_size,
-            hdr.prefix_garbage, hdr.embedded_jpeg)
+            hdr.prefix_garbage, hdr.embedded_jpeg,
+            truncated=hdr.early_eof)
     handoffs = hdr.handoffs or [ThreadHandoff()]
     handoffs[0].num_overhang_bits = ThreadHandoff.LEGACY_OVERHANG_BITS
     handoffs[-1].luma_y_end = info.cmpnfo[0].bcv

@@ -157,8 +157,20 @@ def _native_available() -> bool:
 
 
 def regenerate_scans(hdrdata: bytes, planes, info: ImageInfo, padbit: int,
-                     use_native=None):
+                     use_native=None, truncated: bool = False):
     """Phase 1 of recode_jpeg: rebuild all scans' entropy data.
+
+    truncated: the container is early-EOF (EEE).  The final scan's
+    coefficient store is zero-filled past the truncation point, and the
+    zero tail can merge into an EOB run the scan's optimized Huffman
+    table has no code for (the original encoder never emitted one) --
+    every byte at or beyond that flush lies past the original_size cut
+    merge_jpeg applies, so generation stops cleanly there instead of
+    failing the whole decode.  The reference emits the same container
+    for such inputs and then its own decoder loops forever recoding it
+    (observed: /tmp/refbuild/lepton spins on a 639-byte truncated
+    progressive+RST file); a clean exact-prefix decode is the only
+    useful behavior.
 
     Returns (huffdata bytes, scnp list, rstp list, scnc).
     """
@@ -209,73 +221,50 @@ def regenerate_scans(hdrdata: bytes, planes, info: ImageInfo, padbit: int,
         if use_native:
             from .. import _native
             planes_c = getattr(regenerate_scans, "_planes_cache", None)
-            scan_bytes, rstp_new = _native.native_recode_any_scan(
-                info, [np.ascontiguousarray(p) for p in planes],
-                info.jpegtype, padbit, pos())
-            assert huffw.bits == 0
-            huffw.chunks += scan_bytes
-            huffw.nbytes += len(scan_bytes)
-            rstp.extend(rstp_new)
-            scnc += 1
-            continue
+            try:
+                scan_bytes, rstp_new = _native.native_recode_any_scan(
+                    info, [np.ascontiguousarray(p) for p in planes],
+                    info.jpegtype, padbit, pos())
+            except RuntimeError:
+                if not truncated:
+                    raise
+                # redo this one scan in Python below: its graceful-stop
+                # path byte-aligns and ends generation at the
+                # unencodable EOB run (past the original_size cut)
+                scan_bytes = None
+            if scan_bytes is not None:
+                assert huffw.bits == 0
+                huffw.chunks += scan_bytes
+                huffw.nbytes += len(scan_bytes)
+                rstp.extend(rstp_new)
+                scnc += 1
+                continue
 
-        cmp = sc.cs_cmp[0]
-        csc = 0
-        mcu = 0
-        sub = 0
-        dpos = 0
-        while True:
-            lastdc[0] = lastdc[1] = lastdc[2] = lastdc[3] = 0
-            sta = 0
-            eobrun = 0
-            rstw = info.rsti
+        try:
+            cmp = sc.cs_cmp[0]
+            csc = 0
+            mcu = 0
+            sub = 0
+            dpos = 0
+            while True:
+                lastdc[0] = lastdc[1] = lastdc[2] = lastdc[3] = 0
+                sta = 0
+                eobrun = 0
+                rstw = info.rsti
 
-            if sc.cs_cmpc > 1:
-                if info.jpegtype == 1:
-                    while sta == 0:
-                        load_block(cmp, dpos, 0, 63)
-                        dc = block[0]
-                        block[0] -= lastdc[cmp]
-                        lastdc[cmp] = dc
-                        ci = info.cmpnfo[cmp]
-                        _encode_block_seq(huffw, info.hcodes[0][ci.huffdc],
-                                          info.hcodes[1][ci.huffac], block)
-                        sta, mcu, cmp, csc, sub, dpos, rstw = _next_mcupos(
-                            info, sc, mcu, cmp, csc, sub, dpos, rstw)
-                elif sc.cs_sah == 0:
-                    while sta == 0:
-                        ci = info.cmpnfo[cmp]
-                        y, x = divmod(dpos, ci.bch)
-                        tmp = int(planes[cmp][y, x, 0]) >> sc.cs_sal
-                        diff = tmp - lastdc[cmp]
-                        lastdc[cmp] = tmp
-                        s = (diff if diff > 0 else -diff).bit_length()
-                        dctbl = info.hcodes[0][ci.huffdc]
-                        huffw.write(dctbl.cval[s], dctbl.clen[s])
-                        huffw.write(envli(s, diff), s)
-                        sta, mcu, cmp, csc, sub, dpos, rstw = _next_mcupos(
-                            info, sc, mcu, cmp, csc, sub, dpos, rstw)
-                else:
-                    while sta == 0:
-                        ci = info.cmpnfo[cmp]
-                        y, x = divmod(dpos, ci.bch)
-                        bit = (int(planes[cmp][y, x, 0]) >> sc.cs_sal) & 1
-                        huffw.write(bit, 1)
-                        sta, mcu, cmp, csc, sub, dpos, rstw = _next_mcupos(
-                            info, sc, mcu, cmp, csc, sub, dpos, rstw)
-            else:
-                if info.jpegtype == 1:
-                    while sta == 0:
-                        load_block(cmp, dpos, 0, 63)
-                        dc = block[0]
-                        block[0] -= lastdc[cmp]
-                        lastdc[cmp] = dc
-                        ci = info.cmpnfo[cmp]
-                        _encode_block_seq(huffw, info.hcodes[0][ci.huffdc],
-                                          info.hcodes[1][ci.huffac], block)
-                        sta, dpos, rstw = _next_mcuposn(info, cmp, dpos, rstw)
-                elif sc.cs_to == 0:
-                    if sc.cs_sah == 0:
+                if sc.cs_cmpc > 1:
+                    if info.jpegtype == 1:
+                        while sta == 0:
+                            load_block(cmp, dpos, 0, 63)
+                            dc = block[0]
+                            block[0] -= lastdc[cmp]
+                            lastdc[cmp] = dc
+                            ci = info.cmpnfo[cmp]
+                            _encode_block_seq(huffw, info.hcodes[0][ci.huffdc],
+                                              info.hcodes[1][ci.huffac], block)
+                            sta, mcu, cmp, csc, sub, dpos, rstw = _next_mcupos(
+                                info, sc, mcu, cmp, csc, sub, dpos, rstw)
+                    elif sc.cs_sah == 0:
                         while sta == 0:
                             ci = info.cmpnfo[cmp]
                             y, x = divmod(dpos, ci.bch)
@@ -286,50 +275,94 @@ def regenerate_scans(hdrdata: bytes, planes, info: ImageInfo, padbit: int,
                             dctbl = info.hcodes[0][ci.huffdc]
                             huffw.write(dctbl.cval[s], dctbl.clen[s])
                             huffw.write(envli(s, diff), s)
-                            sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
-                                                            rstw)
+                            sta, mcu, cmp, csc, sub, dpos, rstw = _next_mcupos(
+                                info, sc, mcu, cmp, csc, sub, dpos, rstw)
                     else:
                         while sta == 0:
                             ci = info.cmpnfo[cmp]
                             y, x = divmod(dpos, ci.bch)
-                            bit = (int(planes[cmp][y, x, 0])
-                                   >> sc.cs_sal) & 1
+                            bit = (int(planes[cmp][y, x, 0]) >> sc.cs_sal) & 1
                             huffw.write(bit, 1)
-                            sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
-                                                            rstw)
+                            sta, mcu, cmp, csc, sub, dpos, rstw = _next_mcupos(
+                                info, sc, mcu, cmp, csc, sub, dpos, rstw)
                 else:
-                    ci = info.cmpnfo[cmp]
-                    actbl = info.hcodes[1][ci.huffac]
-                    if sc.cs_sah == 0:
+                    if info.jpegtype == 1:
                         while sta == 0:
-                            load_block(cmp, dpos, sc.cs_from, sc.cs_to,
-                                       sc.cs_sal)
-                            eob, eobrun = _encode_ac_prg_fs(
-                                huffw, actbl, block, eobrun,
-                                sc.cs_from, sc.cs_to)
-                            sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
-                                                            rstw)
-                        eobrun = _encode_eobrun(huffw, actbl, eobrun)
+                            load_block(cmp, dpos, 0, 63)
+                            dc = block[0]
+                            block[0] -= lastdc[cmp]
+                            lastdc[cmp] = dc
+                            ci = info.cmpnfo[cmp]
+                            _encode_block_seq(huffw, info.hcodes[0][ci.huffdc],
+                                              info.hcodes[1][ci.huffac], block)
+                            sta, dpos, rstw = _next_mcuposn(info, cmp, dpos, rstw)
+                    elif sc.cs_to == 0:
+                        if sc.cs_sah == 0:
+                            while sta == 0:
+                                ci = info.cmpnfo[cmp]
+                                y, x = divmod(dpos, ci.bch)
+                                tmp = int(planes[cmp][y, x, 0]) >> sc.cs_sal
+                                diff = tmp - lastdc[cmp]
+                                lastdc[cmp] = tmp
+                                s = (diff if diff > 0 else -diff).bit_length()
+                                dctbl = info.hcodes[0][ci.huffdc]
+                                huffw.write(dctbl.cval[s], dctbl.clen[s])
+                                huffw.write(envli(s, diff), s)
+                                sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
+                                                                rstw)
+                        else:
+                            while sta == 0:
+                                ci = info.cmpnfo[cmp]
+                                y, x = divmod(dpos, ci.bch)
+                                bit = (int(planes[cmp][y, x, 0])
+                                       >> sc.cs_sal) & 1
+                                huffw.write(bit, 1)
+                                sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
+                                                                rstw)
                     else:
-                        while sta == 0:
-                            load_block(cmp, dpos, sc.cs_from, sc.cs_to,
-                                       sc.cs_sal)
-                            eob, eobrun = _encode_ac_prg_sa(
-                                huffw, storw, actbl, block, eobrun,
-                                sc.cs_from, sc.cs_to)
-                            sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
-                                                            rstw)
-                        eobrun = _encode_eobrun(huffw, actbl, eobrun)
-                        _encode_crbits(huffw, storw)
+                        ci = info.cmpnfo[cmp]
+                        actbl = info.hcodes[1][ci.huffac]
+                        if sc.cs_sah == 0:
+                            while sta == 0:
+                                load_block(cmp, dpos, sc.cs_from, sc.cs_to,
+                                           sc.cs_sal)
+                                eob, eobrun = _encode_ac_prg_fs(
+                                    huffw, actbl, block, eobrun,
+                                    sc.cs_from, sc.cs_to)
+                                sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
+                                                                rstw)
+                            eobrun = _encode_eobrun(huffw, actbl, eobrun)
+                        else:
+                            while sta == 0:
+                                load_block(cmp, dpos, sc.cs_from, sc.cs_to,
+                                           sc.cs_sal)
+                                eob, eobrun = _encode_ac_prg_sa(
+                                    huffw, storw, actbl, block, eobrun,
+                                    sc.cs_from, sc.cs_to)
+                                sta, dpos, rstw = _next_mcuposn(info, cmp, dpos,
+                                                                rstw)
+                            eobrun = _encode_eobrun(huffw, actbl, eobrun)
+                            _encode_crbits(huffw, storw)
 
+                huffw.pad(huffw.fillbit)
+                if sta == -1:
+                    raise RecodeError("encode error in progressive recode")
+                if sta == 2:
+                    scnc += 1
+                    break
+                if sta == 1 and info.rsti > 0:
+                    rstp.append(pos() - 1)
+        except RecodeError:
+            if not truncated:
+                raise
+            # unencodable EOB run while regenerating a truncated
+            # container: everything from this flush on lies past the
+            # original_size cut merge_jpeg applies.  Byte-align what
+            # was emitted and stop generating scans -- the cut then
+            # reproduces the original truncated bytes exactly.
             huffw.pad(huffw.fillbit)
-            if sta == -1:
-                raise RecodeError("encode error in progressive recode")
-            if sta == 2:
-                scnc += 1
-                break
-            if sta == 1 and info.rsti > 0:
-                rstp.append(pos() - 1)
+            scnc += 1
+            break
 
     huffdata = bytes(huffw.chunks)
     if scnc >= len(scnp):
@@ -424,9 +457,10 @@ def recode_progressive_jpeg(hdrdata: bytes, planes, info: ImageInfo,
                             padbit: int, rst_cnt, rst_cnt_set: bool, rst_err,
                             garbage: bytes, max_file_size: int,
                             prefix_garbage: Optional[bytes] = None,
-                            embedded_jpeg: bool = False) -> bytes:
+                            embedded_jpeg: bool = False,
+                            truncated: bool = False) -> bytes:
     huffdata, scnp, rstp, scnc = regenerate_scans(
-        hdrdata, planes, info, padbit)
+        hdrdata, planes, info, padbit, truncated=truncated)
     return merge_jpeg(hdrdata, huffdata, scnp, rstp, scnc, rst_cnt,
                       rst_cnt_set, rst_err, garbage, max_file_size,
                       prefix_garbage, embedded_jpeg)

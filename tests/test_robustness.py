@@ -233,3 +233,39 @@ def test_header_truncation_rejected_scan_truncation_accepted():
     for cut in (scan_start + 100, len(data) - 50):
         trunc = data[:cut]
         assert decompress(compress(trunc)) == trunc, cut
+
+
+def test_truncated_progressive_rst_every_cut():
+    """Truncating a progressive+RST JPEG with optimized Huffman tables can
+    zero-fill a tail whose recode needs an EOB-run code the table never
+    contained (the original scan never emitted EOB).  The reference
+    encoder emits a container for such inputs whose own decoder then
+    LOOPS FOREVER re-encoding it (observed on /tmp/refbuild/lepton);
+    ours must round-trip the exact truncated bytes instead
+    (recode_progressive.regenerate_scans truncated= graceful stop).
+    Soak find: tools/soak.py --seed 202 case 290."""
+    import io
+
+    import numpy as np
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    nrng = np.random.default_rng(12345)
+    h, w = 16, 15
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 / w + yy * 255 / h) / 2
+    ch = np.clip(base + nrng.normal(0, 30, size=(h, w)), 0,
+                 255).astype(np.uint8)
+    arr = np.stack([ch, np.roll(ch, 7, 0), np.roll(ch, 13, 1)], axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(
+        buf, "JPEG", quality=95, subsampling=1, progressive=True,
+        restart_marker_blocks=7)
+    data = buf.getvalue()
+    for cut in range(len(data) // 2, len(data), 7):
+        trunc = data[:cut]
+        try:
+            lep = compress(trunc, max_threads=2, allow_progressive=True)
+        except Exception:
+            continue  # clean rejection of an unparseable slice is fine
+        assert decompress(lep) == trunc, cut
