@@ -269,7 +269,7 @@ def check_aux_paths(data: bytes, lep: bytes, case: dict,
         wrapped = api.compress_any(blob, permissive=True, verify=True)
         if api.decompress(wrapped) != blob:
             raise AssertionError("permissive wrapper roundtrip mismatch")
-    else:
+    elif draw < 0.85:
         # truncated JPEG: if the cut still compresses, EEE bookkeeping
         # must reproduce the truncated bytes exactly (jpgcoder.cc EEE)
         cut = rng.randrange(len(data) // 2, len(data))
@@ -280,6 +280,18 @@ def check_aux_paths(data: bytes, lep: bytes, case: dict,
             return  # clean rejection of an unparseable slice is fine
         if decompress(tlep) != trunc:
             raise AssertionError(f"truncated-JPEG roundtrip at {cut}")
+    else:
+        # -startbyte slice: if the offset is accepted, the decode must
+        # reproduce exactly the tail from that byte (mode Y,
+        # jpgcoder.cc:3834 slices; tests/test_slices.py fixed cases)
+        sb = rng.randrange(1, len(data))
+        try:
+            # api.compress forces sequential re-emit for slices itself
+            slep = compress(data, start_byte=sb, **case["codec"])
+        except Exception:
+            return  # clean rejection (e.g. offsets the reference asserts on)
+        if decompress(slep) != data[sb:]:
+            raise AssertionError(f"-startbyte slice roundtrip at {sb}")
 
 
 def run_case(idx: int, base_seed: int, args, tmpdir: str):
