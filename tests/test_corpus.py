@@ -82,6 +82,39 @@ def test_golden_lep_decode(ref_images, name, md5):
     assert hashlib.md5(out).hexdigest() == md5
 
 
+@pytest.mark.parametrize("name", ["iphonecity.jpg", "slrindoor.jpg"])
+def test_large_slr_phone_files(ref_images, ref_binary, name, tmp_path):
+    """The two corpus files with dedicated reference targets that no
+    other test covered (test_phone_outdoor = iphonecity,
+    test_slow_slr = slrindoor): roundtrip bit-exact and byte-match the
+    reference encoder (Makefile.am:277-279)."""
+    src = os.path.join(ref_images, name)
+    data = open(src, "rb").read()
+    lep = compress(data)
+    assert decompress(lep) == data
+    ref_lep = tmp_path / "ref.lep"
+    r = subprocess.run([ref_binary, "-skipverify", src, str(ref_lep)],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert lep == ref_lep.read_bytes()
+
+
+def test_phone_outdoor_zlib_header(ref_images):
+    """The reference's ZLIB_HEADER variant of the iphonecity gate
+    (Makefile.am:278): the container rides in a zlepton (zeta-magic)
+    wrapper and decodes through the stored-zlib output path."""
+    import zlib
+    from lepton_tpu import cli
+    from lepton_tpu.constants import ZLEPTON_HEADER
+    data = open(os.path.join(ref_images, "iphonecity.jpg"), "rb").read()
+    lep = compress(data)
+    zlep = ZLEPTON_HEADER + lep[2:]     # zeta magic (jpgcoder.cc:552)
+    assert cli.sniff(zlep) == "zlepton"
+    out, kind = cli._process(zlep, {"permissive": False})
+    assert kind == "lepton"
+    assert zlib.decompress(out) == data
+
+
 def test_expected_failure_bad_zero_run(ref_images):
     data = open(os.path.join(ref_images, "badzerorun.jpg"), "rb").read()
     with pytest.raises(Exception):
