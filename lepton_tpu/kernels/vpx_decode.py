@@ -870,7 +870,15 @@ def decode_segments_tpu(streams, plane_shapes, color_tables, mcuv,
         # shard_map: each device runs the scan on its local lanes (the
         # kernel is embarrassingly lane-parallel -- segments never read
         # across lanes), avoiding SPMD-partitioner scatter analysis
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map as _sm   # jax >= 0.8 top-level home
+
+            def shard_map(f, mesh, in_specs, out_specs, check_rep):
+                # check_rep was renamed check_vma at the top-level home
+                return _sm(f, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=check_rep)
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
         n_dev = mesh.shape[mesh_axis]
         assert S % n_dev == 0, (S, n_dev)
