@@ -1756,8 +1756,17 @@ static int hbr_unpad(HBitReader *r, int fillbit) {
 
 static inline int devli(int s, uint32_t n) {
     if (s == 0) return (int)n;
+    if (s > 31) {
+        /* only reachable via corrupt/malicious DHT symbols (DC category
+         * up to 255).  The reference's DEVLI shifts out of range (UB),
+         * so there is no defined behavior to match -- keep the
+         * arithmetic defined; the roundtrip verify gate catches any
+         * semantic divergence on such inputs. */
+        return (int)n;
+    }
     if (n >= (1u << (s - 1))) return (int)n;
-    return (int)n + 1 - (1 << s);
+    /* 64-bit avoids 1<<31 signed overflow at the (corrupt) s=31 edge */
+    return (int)((int64_t)n + 1 - ((int64_t)1 << s));
 }
 
 /* ------------------------------------------------ scan geometry context */

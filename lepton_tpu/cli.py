@@ -330,6 +330,19 @@ def main(argv=None) -> int:
     return 0
 
 
+def _allocator_is_interposed() -> bool:
+    """True when a sanitizer allocator is interposed on this process
+    (ASan exports its runtime symbols into the global namespace)."""
+    import ctypes
+    try:
+        ctypes.CDLL(None).__asan_region_is_poisoned
+        return True
+    except AttributeError:
+        return False
+    except Exception:
+        return False
+
+
 def _run_tpu_bounded(fn):
     """Run an accelerator-path callable under a wall-clock budget
     (LEPTON_TPU_TIMEOUT_S, default 600 -- slow-compile episodes through
@@ -372,10 +385,15 @@ def _install_jail_and_inject(opts, encode_side: bool) -> None:
         # (exit 38), exactly as in the reference.  Requires
         # PYTHONMALLOC=malloc (the launcher re-execs to set it); skipped
         # otherwise because CPython's pymalloc arenas call mmap
-        # directly.  Installed BEFORE the allowlist filter: that one
-        # bans prctl, so no further filter can follow it.
+        # directly.  Also skipped when the allocator is interposed
+        # (ASan/UBSan builds): sanitizer allocators mmap on demand past
+        # the pre-grown glibc heap, so stage 2 would kill clean
+        # transcodes -- stage 1 still jails those runs.  Installed
+        # BEFORE the allowlist filter: that one bans prctl, so no
+        # further filter can follow it.
         if os.environ.get("PYTHONMALLOC") == "malloc" and \
-                os.environ.get("LEPTON_NO_STAGE2") != "1":
+                os.environ.get("LEPTON_NO_STAGE2") != "1" and \
+                not _allocator_is_interposed():
             budget = int(os.environ.get("LEPTON_STAGE2_HEAP", 192 << 20))
             if prejail_heap(budget):
                 install_jail_stage2()
