@@ -246,9 +246,18 @@ typedef struct {
 } Coder;
 
 static int ans_pairs_grow(Coder *c) {
+    if (c->ans_cap < 0) return -1;    /* sticky error: a grow failed */
     int64_t ncap = c->ans_cap ? c->ans_cap * 2 : (1 << 20);
     uint16_t *p = (uint16_t *)realloc(c->ans_pairs, (size_t)ncap * 2);
-    if (!p) { free(c->ans_pairs); c->ans_pairs = NULL; return -1; }
+    if (!p) {
+        /* latch the failure: without the sentinel a LATER grow from
+         * NULL would succeed and ans_finish would serialize ans_n
+         * entries of uninitialized heap into the stream with no error */
+        free(c->ans_pairs);
+        c->ans_pairs = NULL;
+        c->ans_cap = -1;
+        return -1;
+    }
     c->ans_pairs = p; c->ans_cap = ncap;
     return 0;
 }
@@ -1399,6 +1408,7 @@ static inline uint64_t rans_enc_put_lut(uint64_t x, const struct AnsEnt *e,
 
 /* serialize the buffered pairs; returns byte length or -1 on overflow */
 static int64_t ans_finish(Coder *c, uint8_t *out, int64_t out_cap) {
+    if (c->ans_cap < 0) return -1;    /* a pair-buffer grow failed */
     int64_t n = c->ans_n;
     int64_t npairs = (n + 1) / 2;
     /* words written back-to-front into a scratch arena */

@@ -343,6 +343,50 @@ def _allocator_is_interposed() -> bool:
         return False
 
 
+def _host_fallback_jailed(data: bytes, opts) -> bytes:
+    """Transcode on the host codec inside a JAILED forked child.
+
+    The -tpu process itself cannot be jailed (the JAX runtime needs its
+    sockets/fds), but the host-codec fallback parses untrusted input --
+    exactly the surface the jail exists to confine.  Fork a child,
+    install the seccomp jail there, transcode, and stream the result
+    back over a pipe; any child failure maps to the zero-byte contract.
+    The parent must pre-import the transcode modules before its first
+    TPU attempt (see the _prepare_for_jail call in the -tpu branches):
+    the child then never takes the import lock, which a hung device
+    thread could be holding at fork time."""
+    r, w = os.pipe()
+    pid = os.fork()
+    if pid == 0:
+        try:
+            os.close(r)
+            child_opts = dict(opts, tpu=False, unjailed=False)
+            _prepare_for_jail(child_opts)
+            from .util.sandbox import install_jail
+            install_jail()
+            out, _ = _process(data, child_opts)
+        except BaseException:
+            out = b""
+        try:
+            written = 0
+            while written < len(out):
+                written += os.write(w, out[written:written + (1 << 20)])
+            os.close(w)
+        except BaseException:
+            pass
+        os._exit(0)
+    os.close(w)
+    chunks = []
+    while True:
+        b = os.read(r, 1 << 20)
+        if not b:
+            break
+        chunks.append(b)
+    os.close(r)
+    os.waitpid(pid, 0)
+    return b"".join(chunks)
+
+
 def _run_tpu_bounded(fn):
     """Run an accelerator-path callable under a wall-clock budget
     (LEPTON_TPU_TIMEOUT_S, default 600 -- slow-compile episodes through
@@ -600,12 +644,19 @@ def _process(data: bytes, opts) -> tuple:
             allow_four_colors=opts.get("allow_four_colors", False),
             allow_34_sampling=opts.get("allow_34_sampling", False))
         if use_tpu:
+            # pre-import the transcode modules so a fallback fork never
+            # takes the import lock a hung device thread could hold
+            _prepare_for_jail(dict(opts))
             try:
                 return _run_tpu_bounded(lambda: compress_any(
                     data, engine="tpu", **kwargs)), "jpeg"
             except Exception as e:
                 _err(f"tpu encode failed ({type(e).__name__}: {e}); "
-                     "falling back to the host codec")
+                     "falling back to the host codec (jailed child)")
+                out = _host_fallback_jailed(data, opts)
+                if out:
+                    return out, "jpeg"
+                raise   # keep the typed failure for exit-code mapping
         return compress_any(data, engine="host", **kwargs), "jpeg"
     if kind == "ujg":
         from .api import ujg_decompress
@@ -628,12 +679,17 @@ def _process(data: bytes, opts) -> tuple:
         # host); multi-container concatenations fall back to the host
         from .api import decompress_tpu, _container_end
         if _container_end(data, 0) == len(data):
+            _prepare_for_jail(dict(opts))   # see _host_fallback_jailed
             try:
                 return _run_tpu_bounded(
                     lambda: decompress_tpu(data)), "lepton"
             except Exception as e:
                 _err(f"tpu decode failed ({type(e).__name__}: {e}); "
-                     "falling back to the host decoder")
+                     "falling back to the host decoder (jailed child)")
+                out = _host_fallback_jailed(data, opts)
+                if out:
+                    return out, "lepton"
+                raise
         return decompress_all(data), "lepton"
     if kind == "lepton":
         if opts.get("recodememory"):
@@ -774,7 +830,14 @@ def _benchmark(files=None, reps: int = 10, bench_threads: int = 1) -> int:
         for _ in range(bench_threads):
             pid = os.fork()
             if pid == 0:
-                os._exit(one_worker())
+                # an exception must not escape os._exit: it would unwind
+                # into the parent's interpreter-teardown (atexit handlers,
+                # interleaved traceback) inside the forked child
+                try:
+                    rc_child = one_worker()
+                except BaseException:
+                    rc_child = 1
+                os._exit(rc_child)
             pids.append(pid)
         bad = 0
         for pid in pids:

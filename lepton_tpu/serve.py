@@ -62,23 +62,27 @@ def _handle(conn: socket.socket, opts, zlib_wrap: bool) -> None:
 
 
 def _host_fallback(data: bytes, opts) -> bytes:
-    """Degrade one request to the host codec (tpu forced off); a request
-    that still fails gets the zero-byte reply (the reference's output
-    contract).  SystemExit (e.g. the -recodememory exit-38 path) must
-    not escape: in the fork server it only kills the child, but here it
-    would take down the whole single-process server."""
-    from .cli import _process
+    """Degrade one request to the host codec in a JAILED forked child
+    (the -tpu serving process itself cannot be jailed -- the JAX runtime
+    needs its sockets -- but the fallback parses untrusted input, the
+    exact surface the jail confines; the fork server gets the same
+    isolation via its per-connection children).  A request that still
+    fails gets the zero-byte reply, which also absorbs SystemExit (the
+    -recodememory exit-38 path) inside the child."""
+    from .cli import _host_fallback_jailed
     try:
-        out, _ = _process(data, dict(opts, tpu=False))
-        return out
+        out = _host_fallback_jailed(data, opts)
+        if out:
+            return out
     except (Exception, SystemExit):
-        if opts.get("permissive"):
-            from .api import generic_compress
-            try:
-                return generic_compress(data)
-            except Exception:
-                pass
-        return b""
+        pass
+    if opts.get("permissive"):
+        from .api import generic_compress
+        try:
+            return generic_compress(data)
+        except Exception:
+            pass
+    return b""
 
 
 def _process_tpu_batch(reqs, opts) -> None:
@@ -184,6 +188,10 @@ def _serve_tpu(socks, opts) -> int:
     isolation still holds per batch via the zero-byte contract."""
     import select
     import zlib as _zlib
+    # pre-import the transcode modules so fallback forks never take the
+    # import lock a hung device thread could hold (_host_fallback_jailed)
+    from .cli import _prepare_for_jail
+    _prepare_for_jail(dict(opts))
     sys.stderr.write("tpu batch serving enabled\n")
     while True:
         try:
@@ -207,15 +215,22 @@ def _serve_tpu(socks, opts) -> int:
                 ready = []
         reqs = []
         # a stalled peer must not freeze the whole single-process loop:
-        # bound each request read (the fork path bounds children via
-        # -timebound= setitimer instead)
+        # bound each request read by WALL CLOCK, not per-recv -- a client
+        # trickling one byte per 9s would never trip a per-recv timeout
+        # (the fork path bounds children via -timebound= setitimer)
+        import time as _time
         read_timeout = (opts["timebound_ms"] / 1000.0
                         if opts.get("timebound_ms") else 10.0)
         for conn, zw in batch:
             chunks = []
+            deadline = _time.monotonic() + read_timeout
             try:
-                conn.settimeout(read_timeout)
                 while True:
+                    left = deadline - _time.monotonic()
+                    if left <= 0:
+                        chunks = []     # over budget: drop the request
+                        break
+                    conn.settimeout(left)
                     b = conn.recv(65536)
                     if not b:
                         break

@@ -39,6 +39,12 @@ def enable(on: bool = True) -> None:
     _enabled = on
 
 
+# span-event cap: a long-lived serving process with timing enabled must
+# not grow the event log without bound (the first-write-wins matrix --
+# the reference's semantics -- is fixed-size and unaffected)
+_MAX_EVENTS = 1 << 20
+
+
 def mark(stage: str, thread: int = 0) -> None:
     if not _enabled:
         return
@@ -47,7 +53,8 @@ def mark(stage: str, thread: int = 0) -> None:
     if i is not None and 0 <= thread < MAX_THREADS \
             and _matrix[thread][i] == 0.0:
         _matrix[thread][i] = now
-    _events.append((stage, now))
+    if len(_events) < _MAX_EVENTS:
+        _events.append((stage, now))
 
 
 class stage:
