@@ -1453,7 +1453,9 @@ static int64_t ans_finish(Coder *c, uint8_t *out, int64_t out_cap) {
     int64_t nbytes = nwords * 4;
     /* the reference copies one word PAST what the encoder wrote
      * (finish - pptr + 1, ans_bool_writer.hh:108-109): the last nop
-     * pair's raw bytes {val=0,prob=128}x2; reproduce for byte parity */
+     * pair's raw bytes {val=0,prob=128}x2; reproduce for byte parity.
+     * Keep in sync with coder/ans.py ANS_PARITY_TAIL (the Python and
+     * TPU encoders share that constant). */
     if (nbytes + 4 > out_cap) { free(scratch); return -1; }
     memcpy(out, wp, (size_t)nbytes);   /* little-endian host */
     out[nbytes] = 0x00; out[nbytes + 1] = 0x80;

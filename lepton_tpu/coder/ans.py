@@ -21,6 +21,13 @@ from typing import List, Tuple
 
 RANS64_L = 1 << 31
 MASK32 = (1 << 32) - 1
+
+# The reference's finish copies one word PAST what its encoder wrote
+# (finish - pptr + 1, ans_bool_writer.hh:108-109), landing on the last
+# nop pair's raw bytes -- every v3 encoder implementation (this one, the
+# TPU finalize in kernels/vpx_scan.py, and ans_finish in leptonc.c) must
+# append this same tail or interop silently diverges per backend.
+ANS_PARITY_TAIL = b"\x00\x80\x00\x80"
 MASK64 = (1 << 64) - 1
 SCALE_BITS = 8
 
@@ -92,10 +99,7 @@ class ANSWriter:
         out = bytearray()
         for w in reversed(words):
             out += int(w).to_bytes(4, "little")
-        # the reference copies one word PAST what the encoder wrote
-        # (finish - pptr + 1, ans_bool_writer.hh:108-109), which lands on
-        # the last nop pair's raw bytes; reproduce it for byte parity
-        out += b"\x00\x80\x00\x80"
+        out += ANS_PARITY_TAIL
         return bytes(out)
 
 

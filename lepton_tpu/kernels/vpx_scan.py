@@ -801,9 +801,8 @@ def finalize_ans_streams(ys, flush, padNP):
         b = bytearray()
         for w in reversed(words):
             b += int(w).to_bytes(4, "little")
-        # reference copies one word past the written region (the last nop
-        # pair's raw bytes, ans_bool_writer.hh:108-109); match it
-        b += b"\x00\x80\x00\x80"
+        from ..coder.ans import ANS_PARITY_TAIL
+        b += ANS_PARITY_TAIL
         out.append(bytes(b))
     return out
 
