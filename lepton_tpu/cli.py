@@ -116,9 +116,11 @@ def main(argv=None) -> int:
             opts["allow_34_sampling"] = True
         elif arg == "-rejectprogressive":
             opts["allow_progressive"] = False
-        elif arg in ("-skipverify", "-skiproundtrip", "-skipvalidate"):
+        elif arg in ("-skipverify", "-skiproundtrip", "-skipvalidate",
+                     "-skipvalidation", "-skipverification"):
             opts["verify"] = False
-        elif arg in ("-verify", "-validate"):
+        elif arg in ("-verify", "-validate", "-validation", "-verification",
+                     "-roundtrip"):
             opts["verify"] = True
         elif arg == "-permissive":
             opts["permissive"] = True
@@ -132,7 +134,7 @@ def main(argv=None) -> int:
             opts["fork"] = True
         elif arg == "-lepcat":
             opts["lepcat"] = True
-        elif arg == "overwrite":
+        elif arg in ("overwrite", "-o"):
             opts["overwrite"] = True
         elif arg == "-unjailed":
             opts["unjailed"] = True
@@ -148,8 +150,18 @@ def main(argv=None) -> int:
             opts["unjailed"] = True
         elif arg in ("-preload", "-decode", "-encode", "-recode",
                      "-unkillable", "-hugepages", "-verbose",
-                     "-avx2upgrade"):
-            pass  # accepted for compatibility (jpgcoder.cc ignores these)
+                     "-avx2upgrade", "-d", "-dev", "-avx"):
+            # accepted for compatibility: jpgcoder.cc either ignores these
+            # or sets flags with no effect on the transcode ("-d" sets the
+            # write-only disc_meta, jpgcoder.cc:529,1146; "-dev" only
+            # widens which *actions* are CLI-reachable, :776)
+            pass
+        elif arg == "-p":
+            # proceed on warnings (err_tresh=2, jpgcoder.cc:1023-1025):
+            # warning-level conditions do not fail the invocation.  Our
+            # driver already treats recoverable conditions permissively,
+            # so this only needs accepting.
+            pass
         elif arg.startswith("-listenbacklog="):
             pass  # accepted for compatibility
         elif arg.startswith("-benchreps="):
@@ -195,18 +207,29 @@ def main(argv=None) -> int:
             opts["embedding"] = _parse_size(arg.split("=", 1)[1])
         elif arg == "-zlib0":
             opts["zlib0"] = True
-        elif arg == "-ujg":
+        elif arg in ("-ujg", "-ujpg"):
             opts["ujg"] = True
         elif arg.startswith("-socket="):
             socket_path = arg.split("=", 1)[1]
+        elif arg == "-socket":
+            # bare -socket: generate a /tmp name like the reference does
+            # when ServiceInfo.uds is NULL (socket_serve.cc:31-63)
+            import binascii
+            socket_path = "/tmp/lepton-%s.sock" % binascii.hexlify(
+                os.urandom(8)).decode()
         elif arg.startswith("-listen="):
             listen_port = int(arg.split("=", 1)[1])
+        elif arg == "-listen":
+            listen_port = 2402   # reference default (socket_serve.hh:14)
         elif arg.startswith("-zliblisten="):
             zlib_port = int(arg.split("=", 1)[1])
+        elif arg == "-zliblisten":
+            zlib_port = 2403     # reference default (socket_serve.hh:15)
         elif arg.startswith("-maxchildren="):
             max_children = int(arg.split("=", 1)[1])
-        elif arg in ("-v0", "-v1", "-v2"):
-            opts["verbosity"] = int(arg[2])
+        elif len(arg) > 2 and arg[:2] == "-v" and arg[2:].lstrip("-").isdigit():
+            # -v<i> parses any integer and clamps to [0,2] (jpgcoder.cc:1001)
+            opts["verbosity"] = max(0, min(2, int(arg[2:])))
         elif arg.startswith("-timing=") or arg.startswith("-trunctiming="):
             # append stage timings to a log file (jpgcoder.cc:1078-1086)
             opts["timing_log"] = arg.split("=", 1)[1]
@@ -473,7 +496,10 @@ def _prepare_for_jail(opts) -> None:
     from .container import brotli_ffi    # noqa: F401
     from .jpeg import (bitio, decoder, huffman, imageinfo, parser,  # noqa
                        progressive, recode_progressive, recoder)
-    from .util import membound           # noqa: F401
+    from .container import mux, zlib0    # noqa: F401  (zlepton decode
+    #                                      wraps output in-jail)
+    from .util import billing, membound  # noqa: F401  (-v2 print_bill
+    #                                      runs post-transcode, in-jail)
     if opts.get("timing_log") and "_timing_log_f" not in opts:
         # the -timing= log fd must exist before the jail: openat under
         # SECCOMP_RET_KILL_PROCESS dies with SIGSYS, never OSError

@@ -67,6 +67,44 @@ def test_cli_roundtrip(ref_images, tmp_path):
     assert jpg.read_bytes() == open(src, "rb").read()
 
 
+def test_cli_alias_flags_and_jailed_billing(ref_images, tmp_path):
+    """Reference flag aliases (-skipvalidation/-roundtrip/-v<i>/-p/-d/-dev/
+    -o/-ujpg, jpgcoder.cc:1001-1151) parse, and -v2's print_bill runs
+    INSIDE the default-on jail (regression: billing imported modules
+    post-jail, so openat died with SIGSYS instead of printing the bill)."""
+    src = os.path.join(ref_images, "nofsync.jpg")
+    lep = tmp_path / "a.lep"
+    jpg = tmp_path / "a.jpg"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, os.path.join(repo, "lepton"),
+                        "-skipvalidation", "-roundtrip", "-v5", "-p", "-d",
+                        "-dev", "-o", src, str(lep)], capture_output=True)
+    assert r.returncode == 0, (r.returncode, r.stderr)
+    assert b"TOTAL" in r.stderr          # the 26-category bill printed
+    r = subprocess.run([sys.executable, os.path.join(repo, "lepton"),
+                        "-verification", str(lep), str(jpg)],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert jpg.read_bytes() == open(src, "rb").read()
+
+
+def test_cli_zlepton_decode_jailed(ref_images, tmp_path):
+    """zlepton (zeta-magic) input decodes to a stored-zlib stream INSIDE
+    the default-on jail (jpgcoder.cc:552,2204-2220).  Regression: the
+    zlib0 wrapper module was imported post-jail, so openat died with
+    SIGSYS (exit 159) instead of producing output."""
+    import zlib
+    data = open(os.path.join(ref_images, "nofsync.jpg"), "rb").read()
+    zlep = tmp_path / "z.lep"
+    zlep.write_bytes(bytes([0xCE, 0xB6]) + compress(data)[2:])
+    out = tmp_path / "z.out"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, os.path.join(repo, "lepton"),
+                        str(zlep), str(out)], capture_output=True)
+    assert r.returncode == 0, (r.returncode, r.stderr)
+    assert zlib.decompress(out.read_bytes()) == data
+
+
 def test_sixteen_segment_encode(ref_images, ref_binary, tmp_path):
     """More segments than reference worker threads (logical>physical)."""
     data = open(os.path.join(ref_images, "androidcrop.jpg"), "rb").read()
