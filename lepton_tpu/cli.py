@@ -266,6 +266,12 @@ def main(argv=None) -> int:
 
     from .util.exitcodes import ExitCode, classify
 
+    if len(files) > 2:
+        # more than in+out file args: help + FILE_NOT_FOUND, no output
+        # (jpgcoder.cc:788-790)
+        _err(f"too many file arguments: {' '.join(files)}")
+        return int(ExitCode.FILE_NOT_FOUND)
+
     # stdin/stdout when no files given -- jailed like the file path (the
     # reference jails stdin mode too: fds are already open, so only the
     # pre-imports are needed before installing seccomp)
