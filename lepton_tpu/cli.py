@@ -81,8 +81,10 @@ def main(argv=None) -> int:
         if arg in ("-h", "-help", "--help"):
             sys.stdout.write(HELP.format(version=__version__))
             return 0
-        elif arg == "-version":
-            sys.stdout.write(f"lepton-tpu v{__version__}\n")
+        elif arg in ("-version", "--version"):
+            # the reference prints the 2-hex-digit format version
+            # (jpgcoder.cc:1014-1016, ujgversion=1); embeddings parse it
+            sys.stdout.write("01\n")
             return 0
         elif arg == "-revision":
             import subprocess as _sp

@@ -70,6 +70,11 @@ def classify(exc: BaseException) -> ExitCode:
         return ExitCode.TOO_MUCH_MEMORY_NEEDED
     if "only garbage" in msg:
         return ExitCode.ONLY_GARBAGE_NO_JPEG
+    if "unknown file type" in msg:
+        # non-JPEG/non-lepton input without -permissive: the reference
+        # fails its header parse and exits UNSUPPORTED_JPEG (measured on
+        # empty and garbage inputs)
+        return ExitCode.UNSUPPORTED_JPEG
     if "version" in msg:
         return ExitCode.VERSION_UNSUPPORTED
     if "short read" in msg or "truncated container" in msg or \
