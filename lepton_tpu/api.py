@@ -545,7 +545,8 @@ def compress_any(data: bytes, permissive: bool = False, verify: bool = True,
                 data, num_segments=kw.get("max_threads", 16),
                 allow_progressive=kw.get("allow_progressive", False),
                 allow_four_colors=kw.get("allow_four_colors", False),
-                version=kw.get("version", 1))
+                version=kw.get("version", 1),
+                jailed_parse=kw.get("jailed_parse", False))
         else:
             lep = compress(data, **kw)
         if verify:
@@ -755,10 +756,150 @@ def ujg_decompress(ujg_data: bytes) -> bytes:
         hdr.prefix_garbage, hdr.embedded_jpeg)
 
 
+def _parse_jpeg_jailed(jpeg_data: bytes, allow_progressive: bool,
+                       allow_four_colors: bool = False):
+    """Parse + Huffman-decode untrusted JPEG bytes inside a JAILED forked
+    child, returning (parsed, info, dec) over a pipe.
+
+    The accelerator paths cannot jail their own process (the JAX runtime
+    needs its sockets, see cli._host_fallback_jailed), but the JPEG parse
+    is exactly the untrusted-input surface the reference never runs
+    outside seccomp (Seccomp.cc:67-138 installs before read_jpeg,
+    jpgcoder.cc:1766).  Forking confines it: the child installs the
+    stage-1 allowlist jail (memory syscalls stay allowed -- the planes
+    must grow), parses, and pickles the result back; any child death maps
+    to a parse failure, never code execution in the device process.
+
+    Callers must have pre-imported the parse modules (cli._prepare_for_jail)
+    so the child never opens files.  Falls back to in-process parsing when
+    fork or the jail is unavailable (non-Linux test hosts).
+
+    The return channel is deserialized with a class-allowlisted Unpickler:
+    a hostile input that fully compromised the jailed child must not be
+    able to smuggle an arbitrary-code pickle into the unjailed parent --
+    that would undo exactly the isolation the fork buys."""
+    import pickle
+    import struct
+
+    from .util.sandbox import install_jail
+
+    def _inline():
+        parsed = parse_jpeg(jpeg_data)
+        info = image_info_from_header(parsed.hdrdata)
+        if info.cmpc > 3 and not allow_four_colors:
+            from .jpeg.imageinfo import UnsupportedJpeg
+            raise UnsupportedJpeg("4 colors unsupported")
+        dec = decode_scans(parsed, info,
+                           allow_progressive=allow_progressive)
+        return parsed, info, dec
+
+    if not hasattr(os, "fork"):
+        return _inline()
+    r, w = os.pipe()
+    pid = os.fork()
+    if pid == 0:
+        code = 1
+        try:
+            os.close(r)
+            install_jail()
+            try:
+                payload = pickle.dumps((True, _inline()),
+                                       protocol=pickle.HIGHEST_PROTOCOL)
+            except BaseException as e:
+                try:
+                    payload = pickle.dumps((False, e),
+                                           protocol=pickle.HIGHEST_PROTOCOL)
+                except BaseException:
+                    payload = pickle.dumps(
+                        (False, LeptonError(f"{type(e).__name__}: {e}")),
+                        protocol=pickle.HIGHEST_PROTOCOL)
+            hdr = struct.pack("<Q", len(payload))
+            for buf in (hdr, payload):
+                off = 0
+                while off < len(buf):
+                    off += os.write(w, buf[off:off + (1 << 20)])
+            code = 0
+        except BaseException:
+            pass
+        os._exit(code)
+    os.close(w)
+    chunks = []
+    while True:
+        b = os.read(r, 1 << 20)
+        if not b:
+            break
+        chunks.append(b)
+    os.close(r)
+    os.waitpid(pid, 0)
+    blob = b"".join(chunks)
+    if len(blob) < 8:
+        raise LeptonError("jailed parse child died (hostile input?)")
+    n = struct.unpack("<Q", blob[:8])[0]
+    ok, val = _restricted_loads(blob[8:8 + n])
+    if not ok:
+        raise val if isinstance(val, BaseException) \
+            else LeptonError(str(val))
+    return val
+
+
+def _huffcodes():
+    from .jpeg.huffman import HuffCodes
+    return HuffCodes
+
+
+def _restricted_loads(blob: bytes):
+    """Unpickle only the classes the jailed parse child legitimately
+    returns (our JPEG dataclasses, their exceptions, numpy arrays)."""
+    import io
+    import pickle
+
+    import numpy as _np
+    from .jpeg import decoder as _d
+    from .jpeg import imageinfo as _ii
+    from .jpeg import parser as _p
+
+    _ALLOWED = {
+        ("lepton_tpu.jpeg.parser", "ParsedJpeg"): _p.ParsedJpeg,
+        ("lepton_tpu.jpeg.parser", "JpegParseError"): _p.JpegParseError,
+        ("lepton_tpu.jpeg.imageinfo", "ComponentInfo"): _ii.ComponentInfo,
+        ("lepton_tpu.jpeg.imageinfo", "ScanInfo"): _ii.ScanInfo,
+        ("lepton_tpu.jpeg.imageinfo", "ImageInfo"): _ii.ImageInfo,
+        ("lepton_tpu.jpeg.imageinfo", "UnsupportedJpeg"): _ii.UnsupportedJpeg,
+        ("lepton_tpu.jpeg.decoder", "ThreadHandoff"): _d.ThreadHandoff,
+        ("lepton_tpu.jpeg.huffman", "HuffCodes"): _huffcodes(),
+        ("lepton_tpu.jpeg.decoder", "DecodedScanData"): _d.DecodedScanData,
+        ("lepton_tpu.jpeg.decoder", "JpegDecodeError"): _d.JpegDecodeError,
+        ("lepton_tpu.api", "LeptonError"): LeptonError,
+        ("numpy._core.multiarray", "_reconstruct"):
+            _np._core.multiarray._reconstruct,
+        ("numpy.core.multiarray", "_reconstruct"):
+            _np._core.multiarray._reconstruct,
+        ("numpy._core.numeric", "_frombuffer"):
+            _np._core.numeric._frombuffer,
+        ("numpy.core.numeric", "_frombuffer"):
+            _np._core.numeric._frombuffer,
+        ("numpy", "ndarray"): _np.ndarray,
+        ("numpy", "dtype"): _np.dtype,
+        ("builtins", "ValueError"): ValueError,
+        ("builtins", "MemoryError"): MemoryError,
+    }
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return _ALLOWED[(module, name)]
+            except KeyError:
+                raise pickle.UnpicklingError(
+                    f"jailed-parse channel refused {module}.{name}")
+
+    return _Unpickler(io.BytesIO(blob)).load()
+
+
 def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
                  window: int = 32, allow_progressive: bool = False,
                  allow_four_colors: bool = False,
-                 symbolizer: str = "jax", version: int = 1) -> bytes:
+                 symbolizer: str = "jax", version: int = 1,
+                 jailed_parse: bool = False) -> bytes:
     """TPU-path encode: symbolization AND entropy phase-B run on the
     accelerator.
 
@@ -792,12 +933,17 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
 
     from .kernels import vpx_scan
 
-    parsed = parse_jpeg(jpeg_data)
-    info = image_info_from_header(parsed.hdrdata)
-    if info.cmpc > 3 and not allow_four_colors:
-        from .jpeg.imageinfo import UnsupportedJpeg
-        raise UnsupportedJpeg("4 colors unsupported")
-    dec = decode_scans(parsed, info, allow_progressive=allow_progressive)
+    if jailed_parse:
+        parsed, info, dec = _parse_jpeg_jailed(
+            jpeg_data, allow_progressive, allow_four_colors)
+    else:
+        parsed = parse_jpeg(jpeg_data)
+        info = image_info_from_header(parsed.hdrdata)
+        if info.cmpc > 3 and not allow_four_colors:
+            from .jpeg.imageinfo import UnsupportedJpeg
+            raise UnsupportedJpeg("4 colors unsupported")
+        dec = decode_scans(parsed, info,
+                           allow_progressive=allow_progressive)
     row_handoffs = dec.handoffs
     fb_size = row_handoffs[-1].segment_size - row_handoffs[0].segment_size
     num_threads = choose_num_threads(len(row_handoffs), fb_size,
@@ -873,7 +1019,8 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
 
 def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
                        window: int = 32,
-                       allow_progressive: bool = False) -> list:
+                       allow_progressive: bool = False,
+                       jailed_parse: bool = False) -> list:
     """Batch-encode many JPEGs on one chip: every image's segments become
     coder lanes in a single phase-B invocation (lanes carry O(1) state in
     the two-pass design, so batch size is free parallelism).  This is the
@@ -885,7 +1032,10 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
     """
     from . import _configure_jax_cache
     _configure_jax_cache()
-    from .kernels.encode_pipeline import encode_images_device
+    if os.environ.get("LEPTON_TPU_BATCH_V1") == "1":
+        from .kernels.encode_pipeline import encode_images_device
+    else:
+        from .kernels.batch_encode import encode_images_device
     from .model.context import ColorTables
 
     if os.environ.get("LEPTON_COMPRESSION_MODEL"):
@@ -898,10 +1048,13 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
     descs = []
     metas = []
     for data in jpeg_blobs:
-        parsed = parse_jpeg(data)
-        info = image_info_from_header(parsed.hdrdata)
-        dec = decode_scans(parsed, info,
-                           allow_progressive=allow_progressive)
+        if jailed_parse:
+            parsed, info, dec = _parse_jpeg_jailed(data, allow_progressive)
+        else:
+            parsed = parse_jpeg(data)
+            info = image_info_from_header(parsed.hdrdata)
+            dec = decode_scans(parsed, info,
+                               allow_progressive=allow_progressive)
         num_threads = choose_num_threads(
             len(dec.handoffs),
             dec.handoffs[-1].segment_size - dec.handoffs[0].segment_size,
