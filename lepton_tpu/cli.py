@@ -140,13 +140,17 @@ def main(argv=None) -> int:
             opts["overwrite"] = True
         elif arg == "-unjailed":
             opts["unjailed"] = True
+            opts["user_unjailed"] = True
         elif arg == "-tpu":
             # accelerator path: encode via compress_tpu (on-device
             # symbolization + lane-parallel phase-B), decode via
-            # decompress_tpu.  Implies -unjailed: the JAX runtime needs
-            # sockets/mmap that the seccomp allow-list bans (the
-            # reference has no accelerator path; this delta is the cost
-            # of one).  Verification still runs the independent host
+            # decompress_tpu.  Implies -unjailed for the DEVICE process
+            # only: the JAX runtime needs sockets/mmap that the seccomp
+            # allow-list bans (the reference has no accelerator path;
+            # this delta is the cost of one).  The untrusted-input parse
+            # still runs inside a jailed forked child
+            # (api._parse_jpeg_jailed) unless the user passed -unjailed
+            # themselves, and verification runs the independent host
             # decoder, so the roundtrip gate spans both implementations.
             opts["tpu"] = True
             opts["unjailed"] = True
@@ -679,8 +683,15 @@ def _process(data: bytes, opts) -> tuple:
             allow_34_sampling=opts.get("allow_34_sampling", False))
         if use_tpu:
             # pre-import the transcode modules so a fallback fork never
-            # takes the import lock a hung device thread could hold
+            # takes the import lock a hung device thread could hold --
+            # and so the JAILED parse child below never opens a file
             _prepare_for_jail(dict(opts))
+            # the happy path parses the untrusted JPEG in a jailed forked
+            # child (api._parse_jpeg_jailed), mirroring the reference's
+            # jail-before-read_jpeg ordering (jpgcoder.cc:1766,2270);
+            # only an EXPLICIT -unjailed opts out (-tpu itself sets
+            # opts["unjailed"] for the device process)
+            kwargs["jailed_parse"] = not opts.get("user_unjailed")
             try:
                 return _run_tpu_bounded(lambda: compress_any(
                     data, engine="tpu", **kwargs)), "jpeg"

@@ -108,7 +108,8 @@ def _process_tpu_batch(reqs, opts) -> None:
             outs = batch_compress_tpu(
                 [r[2] for r in jpegs],
                 num_segments=opts.get("max_threads", 16),
-                allow_progressive=opts.get("allow_progressive", False))
+                allow_progressive=opts.get("allow_progressive", False),
+                jailed_parse=not opts.get("user_unjailed"))
         except (Exception, SystemExit):
             outs = None
     for i, r in enumerate(jpegs):
