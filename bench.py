@@ -502,6 +502,86 @@ def bench_tpu_batch_encode():
         return dict(error=repr(e)[:200])
 
 
+def _gen_knee_corpus(n: int = 128, side: int = 320, seed: int = 7):
+    """n distinct mid-size synthetic JPEGs (PIL, seeded): the >=2048-lane
+    wave that runs phase-B at its measured knee (tools/phaseb_scaling.py:
+    ~500 Msym/s marginal at 2048 lanes).  Distinct pixel content defeats
+    the tunnel's identical-execution memoization."""
+    import io
+    import numpy as np
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    rng = np.random.default_rng(seed)
+    blobs = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:side, 0:side]
+        base = (xx * (80 + i % 40) / side + yy * (60 + i % 23) / side)
+        noise = rng.normal(0, 14 + (i % 9), size=(side, side))
+        ch = np.clip(base + noise, 0, 255).astype(np.uint8)
+        arr = np.stack([ch, np.roll(ch, 5 + i % 11, 0),
+                        np.roll(ch, 9 + i % 7, 1)], axis=-1)
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=82)
+        blobs.append(buf.getvalue())
+    return blobs
+
+
+def bench_tpu_knee():
+    """Phase-B at its lane knee INSIDE the product path (VERDICT r4 item
+    2): a 128-image wave = 2048 coder lanes through batch_compress_tpu.
+    Reports wall MB/s, then one instrumented run (LEPTON_TPU_PROFILE=2
+    sync marks) attributing device seconds per stage, from which the
+    chip-side coder rate is symbols / twopass-seconds."""
+    try:
+        import jax
+        from lepton_tpu.api import batch_compress_tpu, compress, decompress
+        from lepton_tpu.kernels.encode_pipeline import LAST_PROFILE
+
+        blobs = _gen_knee_corpus()
+        if blobs is None:
+            return dict(error="PIL unavailable")
+        mb = sum(len(b) for b in blobs) / 1e6
+        outs = batch_compress_tpu(blobs, num_segments=16)     # compile
+        best = 1e18
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = batch_compress_tpu(blobs, num_segments=16)
+            best = min(best, time.perf_counter() - t0)
+        mism = sum(decompress(o) != b for b, o in zip(blobs, outs))
+        ident = all(outs[i] == compress(blobs[i], max_threads=16)
+                    for i in (0, 17, 101))
+        prev = os.environ.get("LEPTON_TPU_PROFILE")
+        os.environ["LEPTON_TPU_PROFILE"] = "2"
+        try:
+            batch_compress_tpu(blobs, num_segments=16)
+        finally:
+            if prev is None:
+                os.environ.pop("LEPTON_TPU_PROFILE", None)
+            else:
+                os.environ["LEPTON_TPU_PROFILE"] = prev
+        prof = dict(LAST_PROFILE)
+        syms = prof.get("symbols", 0)
+        tp_s = prof.get("sync_twopass", 0.0)
+        return dict(
+            backend=jax.devices()[0].platform,
+            files=len(blobs), corpus_mb=round(mb, 1),
+            lanes=int(prof.get("lanes", 0)),
+            warm_s=round(best, 1),
+            encode_mbps=round(mb / best, 2),
+            symbols=int(syms),
+            padded_symbols=int(prof.get("padded_symbols", 0)),
+            chip_twopass_s=round(tp_s, 2),
+            chip_msym_per_s=round(syms / tp_s / 1e6, 1) if tp_s else None,
+            device_stage_s={k[5:]: round(v, 2) for k, v in prof.items()
+                            if k.startswith("sync_")},
+            roundtrip_failures=int(mism),
+            byte_identical_sample=bool(ident))
+    except Exception as e:
+        return dict(error=repr(e)[:200])
+
+
 LKG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_TPU_LKG.json")
 
@@ -543,11 +623,12 @@ def main():
         tpu_b = bench_tpu_phase_b()
         tpu_e = bench_tpu_e2e_encode()
         tpu_be = bench_tpu_batch_encode()
+        tpu_k = bench_tpu_knee()
         tpu_d = bench_tpu_decode()
     else:
         err = dict(error="tpu tunnel unreachable (probe timeout); "
                    "host metrics above are unaffected")
-        tpu = tpu_b = tpu_e = tpu_be = tpu_d = err
+        tpu = tpu_b = tpu_e = tpu_be = tpu_k = tpu_d = err
     value = host["roundtrip_mbps"]
     baseline = ref_live if ref_live else REFERENCE_ROUNDTRIP_MBPS
     result = {
@@ -572,11 +653,12 @@ def main():
                                 "source": "tools/phaseb_scaling.py"},
         "tpu_e2e_encode": tpu_e,
         "tpu_batch_encode": tpu_be,
+        "tpu_knee": tpu_k,
         "tpu_decode": tpu_d,
     }
     subs = {"tpu_phase_a": tpu, "tpu_phase_b": tpu_b,
             "tpu_e2e_encode": tpu_e, "tpu_batch_encode": tpu_be,
-            "tpu_decode": tpu_d}
+            "tpu_knee": tpu_k, "tpu_decode": tpu_d}
     lkg = _update_lkg(subs)
     failed = [k for k, v in subs.items()
               if not isinstance(v, dict) or "error" in v

@@ -1020,7 +1020,8 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
 def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
                        window: int = 32,
                        allow_progressive: bool = False,
-                       jailed_parse: bool = False) -> list:
+                       jailed_parse: bool = False,
+                       version: int = 1) -> list:
     """Batch-encode many JPEGs on one chip: every image's segments become
     coder lanes in a single phase-B invocation (lanes carry O(1) state in
     the two-pass design, so batch size is free parallelism).  This is the
@@ -1032,7 +1033,8 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
     """
     from . import _configure_jax_cache
     _configure_jax_cache()
-    if os.environ.get("LEPTON_TPU_BATCH_V1") == "1":
+    legacy = os.environ.get("LEPTON_TPU_BATCH_V1") == "1"
+    if legacy:
         from .kernels.encode_pipeline import encode_images_device
     else:
         from .kernels.batch_encode import encode_images_device
@@ -1040,7 +1042,14 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
 
     if os.environ.get("LEPTON_COMPRESSION_MODEL"):
         return [compress(b, max_threads=num_segments,
-                         allow_progressive=allow_progressive)
+                         allow_progressive=allow_progressive,
+                         version=version)
+                for b in jpeg_blobs]
+    if legacy and version == 3:
+        # the retired r3 pipeline never grew rANS lanes
+        return [compress_tpu(b, num_segments=num_segments,
+                             allow_progressive=allow_progressive,
+                             version=3, jailed_parse=jailed_parse)
                 for b in jpeg_blobs]
 
     import time as _time
@@ -1071,7 +1080,11 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
         metas.append((parsed, dec, splits, num_threads))
     _apply_model_env()
     _t_parse = _time.time() - _t0
-    all_streams = encode_images_device(descs, window=window)
+    if legacy:
+        all_streams = encode_images_device(descs, window=window)
+    else:
+        all_streams = encode_images_device(descs, window=window,
+                                           version=version)
     from .kernels import encode_pipeline as _ep
     _ep.LAST_PROFILE["host_jpeg_parse"] = _t_parse
 
@@ -1079,7 +1092,7 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
     for (parsed, dec, splits, num_threads), streams in zip(metas,
                                                            all_streams):
         hdr = LeptonHeader()
-        hdr.version = 1
+        hdr.version = version
         hdr.mode = ord("Z") if dec.is_baseline else ord("X")
         hdr.num_threads = num_threads
         hdr.original_size = parsed.jpgfilesize

@@ -51,10 +51,19 @@ def _mark(label, t, key=None):
     now = time.time()
     LAST_PROFILE[key or label] = LAST_PROFILE.get(key or label, 0.0) \
         + (now - t[0])
-    if os.environ.get("LEPTON_TPU_PROFILE") == "1":
+    if os.environ.get("LEPTON_TPU_PROFILE") in ("1", "2"):
         print(f"  [tpu-batch2] {label}: {now - t[0]:.2f}s",
               file=sys.stderr, flush=True)
     t[0] = now
+
+
+def _sync(x, label, t):
+    """LEPTON_TPU_PROFILE=2: force one element to the host so dispatch-
+    async stages surface where they are spent (costs one RTT each; never
+    on in the product path)."""
+    if os.environ.get("LEPTON_TPU_PROFILE") == "2":
+        np.asarray(x.reshape(-1)[-1:])
+        _mark(label, t, "sync_" + label)
 
 
 def _acct(key, nbytes):
@@ -130,6 +139,113 @@ def _flatten_jit():
     return _FLATTEN
 
 
+_ASSEMBLE_PACKED = None
+
+
+def _assemble_packed_jit():
+    """Run-offset stream assembly returning ONE packed int32 [S, Lmax]
+    array (branch<<1|bit; tail slots PAD) -- half the HBM writes of the
+    (idx, bit) pair the shared _assemble_jit materializes."""
+    global _ASSEMBLE_PACKED
+    if _ASSEMBLE_PACKED is None:
+        import jax
+        import jax.numpy as jnp
+        from .vpx_scan import PAD
+
+        @partial(jax.jit, static_argnames=("Lmax",))
+        def assemble(packed, run_dst, run_off, run_valid, seg_total, Lmax):
+            S = run_dst.shape[0]
+            Svec = jnp.arange(S)
+            deltas = jnp.zeros((S, Lmax), jnp.int32)
+            prev = jnp.concatenate(
+                [jnp.zeros((S, 1), jnp.int32), run_off[:, :-1]], axis=1)
+            dvals = jnp.where(run_valid, run_off - prev, 0)
+            deltas = deltas.at[Svec[:, None], run_dst].add(dvals)
+            offs = jnp.cumsum(deltas, axis=1)
+            src = jnp.arange(Lmax, dtype=jnp.int32)[None, :] + offs
+            live = jnp.arange(Lmax)[None, :] < seg_total[:, None]
+            src = jnp.clip(src, 0, packed.shape[0] - 1)
+            return jnp.where(live, packed[src], PAD * 2)
+
+        _ASSEMBLE_PACKED = assemble
+    return _ASSEMBLE_PACKED
+
+
+_TWOPASS_PACKED = None
+
+
+def _twopass_packed_jit():
+    """model_probs_sorted + arith_pass over the packed stream in ONE jit:
+    branch/bit unpack fuses into the sort and scan inputs instead of
+    materializing separate [S, L] idx/bit arrays."""
+    global _TWOPASS_PACKED
+    if _TWOPASS_PACKED is None:
+        import jax
+        import jax.numpy as jnp
+        from . import vpx_scan
+
+        @partial(jax.jit, static_argnames=("window",))
+        def twopass(packed, window):
+            idxs = packed >> 1          # arithmetic: PAD*2 -> PAD
+            bits = (packed & 1).astype(jnp.uint8)
+            probs = vpx_scan.model_probs_sorted(idxs, bits, window)
+            return vpx_scan.arith_pass(idxs, bits, probs, window)
+
+        _TWOPASS_PACKED = twopass
+    return _TWOPASS_PACKED
+
+
+_ANSENC_PACKED = None
+
+
+def _ansenc_packed_jit():
+    """v3 phase-B over the packed stream in ONE jit: sorted-branch model
+    pass with the adv update rule (branch.hh:66-80) + the reverse rANS
+    register chain (rans64.hh, ans_bool_writer.hh:21-110) + emitted-word
+    compaction.  Returns (words int32 [S, 2*padNP] compacted in emission
+    order, nwords [S], flush (h1, l1, h2, l2))."""
+    global _ANSENC_PACKED
+    if _ANSENC_PACKED is None:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from . import vpx_scan
+
+        @partial(jax.jit, static_argnames=("window",))
+        def ansenc(packed, nsyms, window):
+            idxs = packed >> 1
+            bits = (packed & 1).astype(jnp.uint8)
+            probs = vpx_scan.model_probs_sorted(idxs, bits, window,
+                                                update="adv")
+            ys, flush, padNP = vpx_scan.ans_pass(probs, bits, nsyms,
+                                                 window)
+            e1, w1, e2, w2 = ys                     # [padNP, S]
+            NP, S = e1.shape
+            # serial emission order: pair t ascending, s1's word then s2's
+            # (ANSWriter.finish, mirrored by finalize_ans_streams)
+            e = jnp.stack([e1, e2], axis=1).reshape(2 * NP, S)
+            w = jnp.stack([w1, w2], axis=1).reshape(2 * NP, S)
+            pos = jnp.arange(2 * NP, dtype=jnp.int32)[:, None]
+            key = jnp.where(e, pos, jnp.int32(1 << 30))
+            _, wc = lax.sort(
+                (key.T, lax.bitcast_convert_type(w, jnp.int32).T),
+                dimension=1, is_stable=False, num_keys=1)
+            nwords = jnp.sum(e, axis=0).astype(jnp.int32)
+            return wc, nwords, flush
+
+        _ANSENC_PACKED = ansenc
+    return _ANSENC_PACKED
+
+
+def _finalize_ans_lane(words_row: np.ndarray, n: int, flush4) -> bytes:
+    """v3 lane bytes: reversed (emitted words + flush), little-endian,
+    plus the shared parity tail (coder/ans.ANSWriter.finish)."""
+    from ..coder.ans import ANS_PARITY_TAIL
+    ws = np.concatenate([words_row[:n].astype(np.uint32),
+                         np.asarray(flush4, np.uint32)])
+    return ws[::-1].astype("<u4").tobytes() + ANS_PARITY_TAIL
+
+
 _PACK_OUT = None
 
 
@@ -187,13 +303,17 @@ def _finalize_stream(row: np.ndarray, mask_row: np.ndarray, n: int) -> bytes:
     return bytes(bs)
 
 
-def encode_images_device(images, window: int = 32):
+def encode_images_device(images, window: int = 32, version: int = 1):
     """Batch encode MANY images on one chip (drop-in contract of
     encode_pipeline.encode_images_device: returns per-image lists of
-    per-segment VPX stream bytes, byte-identical to the host coder).
+    per-segment stream bytes, byte-identical to the host coder).
 
     images: list of dicts with keys planes, color_tables, mcuv,
     max_coded_heights, component_sizes, splits_y, color_index(optional).
+    version: 1/2 -> VPX bool-coder streams (identical bytes; the version
+    only selects the container header compression), 3 -> rANS streams
+    (no marker/stop framing, adv model update, reverse serialization --
+    ans_bool_writer.hh:21-110).
     """
     import jax
     import jax.numpy as jnp
@@ -258,6 +378,7 @@ def encode_images_device(images, window: int = 32):
         pending.clear()
         wave_bytes = 0
         _mark("flatten", t, "compact_dispatch")
+        _sync(packed_parts[-1], "flatten", t)
 
     for key, members in groups.items():
         ncomp = len(key)
@@ -301,13 +422,14 @@ def encode_images_device(images, window: int = 32):
     del packed_parts
 
     # ---- lane runs (row granularity; host geometry + fetched counts) ----
+    framed = version != 3          # rANS lanes carry no marker/stop bits
     lane_runs = []
     lane_total = []
     lane_owner = []
     for d, (im, plans) in enumerate(zip(images, img_plans)):
         for si, plan in enumerate(plans):
-            runs = [(0, frame_base, 1)]                    # marker bit
-            dst = 1
+            runs = [(0, frame_base, 1)] if framed else []  # marker bit
+            dst = 1 if framed else 0
             for comp, y in plan:
                 ro = img_rowoffs[d][comp]
                 src0 = int(ro[y])
@@ -315,8 +437,9 @@ def encode_images_device(images, window: int = 32):
                 if ln:
                     runs.append((dst, src0, ln))
                     dst += ln
-            runs.append((dst, frame_base, 32))             # stop bits
-            dst += 32
+            if framed:
+                runs.append((dst, frame_base, 32))         # stop bits
+                dst += 32
             lane_runs.append(runs)
             lane_total.append(dst)
             lane_owner.append((d, si))
@@ -326,11 +449,41 @@ def encode_images_device(images, window: int = 32):
     # ---- pools: length-sorted lanes, POOL_LANES wide ----
     order = sorted(range(S_all), key=lambda i: -lane_total[i])
     fetches = []
-    for p0 in range(0, S_all, POOL_LANES):
-        members = order[p0:p0 + POOL_LANES]
-        Sp = POOL_LANES
+    # greedy length-adaptive pools: a pool breaks when the next (shorter)
+    # lane would waste >45% of the pool's padded length or the pool hits
+    # the lane-scaling knee (~2048 lanes); lane counts bucket to 32 so
+    # the jit shape set stays small.  Minimizes padded Sp*Lmax volume,
+    # which assemble/phase-B/pack all pay linearly.
+    pools = []
+    cur = []
+    for i in order:
+        if not cur:
+            cur = [i]
+        elif len(cur) >= 2048 or \
+                lane_total[i] < 0.55 * lane_total[cur[0]]:
+            pools.append(cur)
+            cur = [i]
+        else:
+            cur.append(i)
+    if cur:
+        pools.append(cur)
+    # merge tiny trailing pools forward: a 32-lane dispatch costs as much
+    # as a 64-lane one and tiny lanes barely add padded volume
+    merged = []
+    for m in pools:
+        if merged and len(merged[-1]) + len(m) <= 2048 and \
+                lane_total[m[0]] * len(m) < 0.1 * lane_total[merged[-1][0]] \
+                * len(merged[-1]):
+            merged[-1].extend(m)
+        else:
+            merged.append(m)
+    _acct("symbols", sum(lane_total))
+    _acct("lanes", S_all)
+    for members in merged:
+        Sp = (len(members) + 31) // 32 * 32
         Lmax = _bucket(max(lane_total[i] for i in members), LEN_BUCKET)
-        Rmax = (max(len(lane_runs[i]) for i in members) + 63) // 64 * 64
+        _acct("padded_symbols", Sp * Lmax)
+        Rmax = max(64, (max(len(lane_runs[i]) for i in members) + 63) // 64 * 64)
         run_dst = np.zeros((Sp, Rmax), np.int32)
         run_off = np.zeros((Sp, Rmax), np.int32)
         run_valid = np.zeros((Sp, Rmax), bool)
@@ -342,6 +495,9 @@ def encode_images_device(images, window: int = 32):
                 run_valid[s_i, r] = True
             totals[s_i] = lane_total[lane]
         for s_i in range(len(members), Sp):    # dummy lanes: marker+stop
+            if not framed:
+                totals[s_i] = 0                # v3 dummies stay empty
+                continue
             run_dst[s_i, 0] = 0
             run_off[s_i, 0] = frame_base
             run_valid[s_i, 0] = True
@@ -349,16 +505,24 @@ def encode_images_device(images, window: int = 32):
             run_off[s_i, 1] = frame_base - 1
             run_valid[s_i, 1] = True
             totals[s_i] = 33
-        from .encode_pipeline import _assemble_jit
-        oi, ob = _assemble_jit()(packed, jnp.asarray(run_dst),
-                                 jnp.asarray(run_off),
-                                 jnp.asarray(run_valid),
-                                 jnp.asarray(totals), Lmax)
-        emit, byte, carry, _ = vpx_scan.encode_streams_twopass(
-            oi, ob, window=window)
-        bytes_u8, mask, nbytes = _pack_out_jit()(emit, byte, carry)
-        fetches.append((members, bytes_u8, mask, nbytes))
-        _mark(f"pool S={Sp} Lmax={Lmax} dispatched", t, "pool_dispatch")
+        pk = _assemble_packed_jit()(packed, jnp.asarray(run_dst),
+                                    jnp.asarray(run_off),
+                                    jnp.asarray(run_valid),
+                                    jnp.asarray(totals), Lmax)
+        _sync(pk, "assemble", t)
+        if version == 3:
+            words, nwords, flush = _ansenc_packed_jit()(
+                pk, jnp.asarray(totals.astype(np.int32)), window)
+            _sync(words, "twopass", t)
+            fetches.append((members, words, flush, nwords))
+        else:
+            emit, byte, carry, _ = _twopass_packed_jit()(pk, window)
+            _sync(byte, "twopass", t)
+            bytes_u8, mask, nbytes = _pack_out_jit()(emit, byte, carry)
+            _sync(mask, "pack", t)
+            fetches.append((members, bytes_u8, mask, nbytes))
+        _mark(f"pool S={Sp} Lmax={Lmax} x{len(members)} dispatched", t,
+              "pool_dispatch")
 
     # ---- two fetch points: all nbytes, then per-pool sliced outputs ----
     all_nb = np.asarray(jnp.concatenate(
@@ -367,17 +531,29 @@ def encode_images_device(images, window: int = 32):
     _mark("nbytes-fetch", t, "nbytes_fetch")
     results = {}
     nb_off = 0
-    for members, bytes_u8, mask, _ in fetches:
-        nb = all_nb[nb_off:nb_off + POOL_LANES]
-        nb_off += POOL_LANES
+    for members, payload, aux, _ in fetches:
+        nb = all_nb[nb_off:nb_off + payload.shape[0]]
+        nb_off += payload.shape[0]
         n_live = len(members)
         maxb = _bucket(int(nb[:n_live].max()) + 1, 1 << 12)
-        bh = np.asarray(bytes_u8[:n_live, :maxb])
-        mh = np.asarray(mask[:n_live, :maxb // 32])
-        _acct("d2h_bytes", bh.nbytes + mh.nbytes)
-        _mark(f"output-fetch {n_live}x{maxb}", t, "output_fetch")
-        for s_i, lane in enumerate(members):
-            results[lane] = _finalize_stream(bh[s_i], mh[s_i], int(nb[s_i]))
+        maxb = min(maxb, payload.shape[1])
+        if version == 3:
+            wh = np.asarray(payload[:n_live, :maxb])
+            fl = [np.asarray(f[:n_live]) for f in aux]   # h1, l1, h2, l2
+            _acct("d2h_bytes", wh.nbytes + 16 * n_live)
+            _mark(f"output-fetch {n_live}x{maxb}w", t, "output_fetch")
+            for s_i, lane in enumerate(members):
+                results[lane] = _finalize_ans_lane(
+                    wh[s_i], int(nb[s_i]),
+                    (fl[0][s_i], fl[1][s_i], fl[2][s_i], fl[3][s_i]))
+        else:
+            bh = np.asarray(payload[:n_live, :maxb])
+            mh = np.asarray(aux[:n_live, :maxb // 32])
+            _acct("d2h_bytes", bh.nbytes + mh.nbytes)
+            _mark(f"output-fetch {n_live}x{maxb}", t, "output_fetch")
+            for s_i, lane in enumerate(members):
+                results[lane] = _finalize_stream(bh[s_i], mh[s_i],
+                                                 int(nb[s_i]))
     out = [[] for _ in images]
     for lane in range(S_all):
         d, si = lane_owner[lane]

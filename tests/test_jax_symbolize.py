@@ -133,3 +133,15 @@ def test_batch_compress_tpu():
     for blob, lep in zip(blobs, leps):
         assert lep == compress_tpu(blob, num_segments=4)
         assert decompress(lep) == blob
+
+
+def test_batch_compress_tpu_v3():
+    """rANS (format v3) lanes in the batch pipeline: byte-identical to
+    the host v3 encoder and to compress_tpu(version=3)."""
+    from lepton_tpu.api import batch_compress_tpu, compress
+    blobs = [open(os.path.join(IMAGES, n), "rb").read()
+             for n in ("nofsync.jpg", "androidcrop.jpg")]
+    leps = batch_compress_tpu(blobs, num_segments=4, version=3)
+    for blob, lep in zip(blobs, leps):
+        assert lep == compress(blob, max_threads=4, version=3)
+        assert decompress(lep) == blob
