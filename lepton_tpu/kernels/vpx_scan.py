@@ -448,13 +448,26 @@ def encode_streams_packed(idxs: jnp.ndarray, bits: jnp.ndarray,
 _IDENT_BRANCH = np.uint32(0x010180)     # (1, 1, 128) packed
 
 
-def _exact_div_f32(n, d):
+def _exact_div_f32(n, d, wide=False):
     """Exact floor(n/d) for 0 <= n <= 2^17, 1 <= d <= 2^10 via one f32
     division + a +-1 fixup (integer division lowers to a long multi-op
     sequence on the VPU; this is ~6 ops).  Exhaustively verified over
-    the branch-update domain in tests."""
+    the branch-update domain in tests.
+
+    wide=True extends the domain to n < 2^31 with n/d < 2^24: there the
+    f32 NUMERATOR itself rounds (up to n * 2^-24) and the TPU's divide
+    is not correctly rounded (measured: off-by-2 quotients on the v5e --
+    a single-bit corpus mismatch in the rANS pass, round 4), so q can
+    land several units off.  A second tiny division on the exact int32
+    remainder (|r| bounded by a few d, exactly representable) recovers
+    floor exactly, then the usual +-1 fixup lands it."""
     q = (n.astype(jnp.float32) / d.astype(jnp.float32)).astype(jnp.int32)
     r = n - q * d
+    if wide:
+        c = (r.astype(jnp.float32) / d.astype(jnp.float32)).astype(
+            jnp.int32)
+        q = q + c
+        r = n - q * d
     q = q + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
     return q
 
@@ -658,7 +671,7 @@ def _div64_small(hi, lo, f):
     uint32.  Because each partial remainder is < f, the three sub-
     quotients are each < 2^16: the result recomposes exactly with no
     carries.  Returns (q_hi int32, q_lo uint32, rem int32)."""
-    qh = _exact_div_f32(hi, f)
+    qh = _exact_div_f32(hi, f, wide=True)             # hi up to 2^31
     rh = hi - qh * f                                  # < f <= 256
     lh = (lo >> 16).astype(jnp.int32)
     ll = (lo & 0xFFFF).astype(jnp.int32)

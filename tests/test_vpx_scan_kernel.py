@@ -123,6 +123,34 @@ def test_exact_div_f32_branch_domain():
     assert np.array_equal(q, (c << 8) // d)
 
 
+def test_div64_small_wide_domain():
+    """The rANS put-step divider is exact over its REAL domain: hi up to
+    2^31 (inexact in f32!) with the put-step invariant hi < freq<<23.
+    A single +-1 fixup is NOT enough there -- the TPU's uncorrectly-
+    rounded divide plus the f32 numerator rounding produced off-by-2
+    quotients (one-bit corpus mismatch, round 4); the wide=True second
+    division must recover floor exactly on every backend."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    N = 1 << 18
+    f = rng.integers(1, 257, N, dtype=np.int64)
+    hi = rng.integers(0, 1 << 31, N, dtype=np.int64)
+    hi = np.minimum(hi, (f << 23) - 1)
+    # adversarial tail: exact multiples +-1 near the top of the domain
+    f[:512] = np.arange(512) % 256 + 1
+    hi[:512] = (f[:512] << 23) - 1
+    lo = rng.integers(0, 1 << 32, N, dtype=np.uint64)
+    qh, ql, rem = jax.jit(V._div64_small)(
+        jnp.asarray(hi, jnp.int32), jnp.asarray(lo, jnp.uint32),
+        jnp.asarray(f, jnp.int32))
+    x = (hi << 32) | lo.astype(np.int64)
+    got_q = (np.asarray(qh).astype(np.int64) << 32) \
+        | np.asarray(ql).astype(np.uint64).astype(np.int64)
+    assert np.array_equal(got_q, x // f)
+    assert np.array_equal(np.asarray(rem).astype(np.int64), x % f)
+
+
 def test_ans_pass_matches_scalar_writer():
     """On-device rANS (adv model pass + reverse 64-bit register chain in
     uint32 pieces) == coder.ans.ANSWriter byte-for-byte, odd and even
