@@ -75,6 +75,29 @@ def _apply_model_env() -> None:
     _model_env_state["cur"] = path
 
 
+def _model_template_packed():
+    """Packed uint32 [ARENA_SIZE] start arena for the DEVICE kernels when
+    LEPTON_COMPRESSION_MODEL is set, else None.  Counts load-normalize to
+    (1+c)>>1 and the prob byte ships as stored, exactly the state the
+    host coders start every segment from (load_probability_tables,
+    model.cc:386-421; layout c0<<16 | c1<<8 | prob)."""
+    path = os.environ.get("LEPTON_COMPRESSION_MODEL")
+    if not path:
+        return None
+    if _model_env_state.get("packed_for") == path:
+        return _model_env_state["packed"]
+    from .model.tables import ARENA_SIZE
+    raw = np.frombuffer(open(path, "rb").read(), dtype=np.uint8)
+    if raw.size != ARENA_SIZE * 3:
+        raise LeptonError("unexpected model file size")
+    arr = raw.reshape(-1, 3).astype(np.uint32)
+    packed = ((((1 + arr[:, 0]) >> 1) << 16)
+              | (((1 + arr[:, 1]) >> 1) << 8) | arr[:, 2])
+    _model_env_state["packed"] = packed
+    _model_env_state["packed_for"] = path
+    return packed
+
+
 _MAX_WORKERS = None
 _POOL = None
 
@@ -416,11 +439,6 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
     two-state rANS reader with the adv-model update rule).  Only mode Y
     (-startbyte slices) falls back to the host decoder.
     """
-    if os.environ.get("LEPTON_COMPRESSION_MODEL"):
-        # the TPU kernel initializes the identity (1,1,128) arena; a
-        # trained-model container must go through the host decoder, which
-        # honors the env (ADVICE r2)
-        return decompress(lep_data)
     from . import _configure_jax_cache
     _configure_jax_cache()
     hdr, mux_region = read_container(lep_data)
@@ -457,18 +475,19 @@ def decompress_tpu(lep_data: bytes, mesh=None, backend: str = "auto") -> bytes:
         backend = "pallas" if (mesh is None and
                                jax.devices()[0].platform == "tpu") \
             else "xla"
+    template = _model_template_packed()
     if backend == "pallas":
         from .kernels.pallas_decode import decode_segments_pallas
         planes, err = decode_segments_pallas(
             streams, shapes, colors, info.mcuv, max_heights, comp_sizes,
             splits_y, color_index=(lambda c: 0 if c == 0 else 1),
-            coder=coder)
+            coder=coder, template=template)
     else:
         from .kernels.vpx_decode import decode_segments_tpu
         planes, err = decode_segments_tpu(
             streams, shapes, colors, info.mcuv, max_heights, comp_sizes,
             splits_y, color_index=(lambda c: 0 if c == 0 else 1),
-            mesh=mesh, coder=coder)
+            mesh=mesh, coder=coder, template=template)
     if err.any():
         raise LeptonError("lepton stream inconsistent (TPU decode)")
 
@@ -920,13 +939,6 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
     sorted-branch model pass with the adv update rule + the reverse
     rANS register chain, kernels.vpx_scan.encode_streams_ans).
     """
-    if os.environ.get("LEPTON_COMPRESSION_MODEL"):
-        # the JAX two-pass coder assumes the identity model start; honor
-        # trained models via the host encoder (same splits => same bytes)
-        return compress(jpeg_data, max_threads=num_segments,
-                        allow_progressive=allow_progressive,
-                        allow_four_colors=allow_four_colors,
-                        version=version)
     from . import _configure_jax_cache
     _configure_jax_cache()
     import jax
@@ -951,6 +963,7 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
     splits = select_splits(row_handoffs, num_threads, False)
     max_heights, comp_sizes = _truncation_geometry(info, dec)
     _apply_model_env()
+    template = _model_template_packed()
 
     if symbolizer == "jax" and version != 3:
         # fully on-device: symbolize + stream assembly + phase-B; only
@@ -962,7 +975,8 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
         streams = symbolize_image_device(
             list(dec.planes), colors, info.mcuv, max_heights, comp_sizes,
             [th.luma_y_start for th in splits],
-            color_index=(lambda c: 0 if c == 0 else 1), window=window)
+            color_index=(lambda c: 0 if c == 0 else 1), window=window,
+            template=template)
         segs = None
     elif symbolizer == "jax":
         from .kernels.encode_pipeline import symbolize_image
@@ -988,12 +1002,15 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
 
     if segs is not None and version == 3:
         # rANS framing has no marker/stop bits: raw per-segment streams
-        streams = vpx_scan.encode_streams_ans(segs, window=window)
+        streams = vpx_scan.encode_streams_ans(segs, window=window,
+                                              template=template)
     elif segs is not None:
         idxs, bits = vpx_scan.build_symbol_streams(segs)
-        out = vpx_scan.encode_streams_twopass(jax.device_put(idxs),
-                                              jax.device_put(bits),
-                                              window=window)
+        import jax.numpy as jnp
+        out = vpx_scan.encode_streams_twopass(
+            jax.device_put(idxs), jax.device_put(bits), window=window,
+            template=None if template is None
+            else jnp.asarray(template, jnp.uint32))
         emit, byte, carry, nbytes = [np.asarray(x) for x in out]
         streams = vpx_scan.finalize_streams(emit, byte, carry, nbytes)
 
@@ -1040,16 +1057,12 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
         from .kernels.batch_encode import encode_images_device
     from .model.context import ColorTables
 
-    if os.environ.get("LEPTON_COMPRESSION_MODEL"):
-        return [compress(b, max_threads=num_segments,
-                         allow_progressive=allow_progressive,
-                         version=version)
-                for b in jpeg_blobs]
-    if legacy and version == 3:
-        # the retired r3 pipeline never grew rANS lanes
+    if legacy and (version == 3
+                   or os.environ.get("LEPTON_COMPRESSION_MODEL")):
+        # the retired r3 pipeline never grew rANS lanes or templates
         return [compress_tpu(b, num_segments=num_segments,
                              allow_progressive=allow_progressive,
-                             version=3, jailed_parse=jailed_parse)
+                             version=version, jailed_parse=jailed_parse)
                 for b in jpeg_blobs]
 
     import time as _time
@@ -1083,8 +1096,9 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
     if legacy:
         all_streams = encode_images_device(descs, window=window)
     else:
-        all_streams = encode_images_device(descs, window=window,
-                                           version=version)
+        all_streams = encode_images_device(
+            descs, window=window, version=version,
+            template=_model_template_packed())
     from .kernels import encode_pipeline as _ep
     _ep.LAST_PROFILE["host_jpeg_parse"] = _t_parse
 

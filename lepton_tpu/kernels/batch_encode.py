@@ -185,10 +185,11 @@ def _twopass_packed_jit():
         from . import vpx_scan
 
         @partial(jax.jit, static_argnames=("window",))
-        def twopass(packed, window):
+        def twopass(packed, window, template=None):
             idxs = packed >> 1          # arithmetic: PAD*2 -> PAD
             bits = (packed & 1).astype(jnp.uint8)
-            probs = vpx_scan.model_probs_sorted(idxs, bits, window)
+            probs = vpx_scan.model_probs_sorted(idxs, bits, window,
+                                                template=template)
             return vpx_scan.arith_pass(idxs, bits, probs, window)
 
         _TWOPASS_PACKED = twopass
@@ -212,11 +213,12 @@ def _ansenc_packed_jit():
         from . import vpx_scan
 
         @partial(jax.jit, static_argnames=("window",))
-        def ansenc(packed, nsyms, window):
+        def ansenc(packed, nsyms, window, template=None):
             idxs = packed >> 1
             bits = (packed & 1).astype(jnp.uint8)
             probs = vpx_scan.model_probs_sorted(idxs, bits, window,
-                                                update="adv")
+                                                update="adv",
+                                                template=template)
             ys, flush, padNP = vpx_scan.ans_pass(probs, bits, nsyms,
                                                  window)
             e1, w1, e2, w2 = ys                     # [padNP, S]
@@ -303,7 +305,8 @@ def _finalize_stream(row: np.ndarray, mask_row: np.ndarray, n: int) -> bytes:
     return bytes(bs)
 
 
-def encode_images_device(images, window: int = 32, version: int = 1):
+def encode_images_device(images, window: int = 32, version: int = 1,
+                         template=None):
     """Batch encode MANY images on one chip (drop-in contract of
     encode_pipeline.encode_images_device: returns per-image lists of
     per-segment stream bytes, byte-identical to the host coder).
@@ -314,6 +317,9 @@ def encode_images_device(images, window: int = 32, version: int = 1):
     only selects the container header compression), 3 -> rANS streams
     (no marker/stop framing, adv model update, reverse serialization --
     ans_bool_writer.hh:21-110).
+    template: optional packed uint32 [ARENA_SIZE] trained-model start
+    state (LEPTON_COMPRESSION_MODEL, model.cc:407-421) applied to every
+    lane's model recurrence.
     """
     import jax
     import jax.numpy as jnp
@@ -323,6 +329,8 @@ def encode_images_device(images, window: int = 32, version: int = 1):
 
     LAST_PROFILE.clear()
     t = [time.time()]
+    tpl_dev = jax.device_put(jnp.asarray(template, jnp.uint32)) \
+        if template is not None else None
 
     # ---- host geometry: plans, groups by (shape, quant, ci) ----
     groups = {}
@@ -512,11 +520,13 @@ def encode_images_device(images, window: int = 32, version: int = 1):
         _sync(pk, "assemble", t)
         if version == 3:
             words, nwords, flush = _ansenc_packed_jit()(
-                pk, jnp.asarray(totals.astype(np.int32)), window)
+                pk, jnp.asarray(totals.astype(np.int32)), window,
+                template=tpl_dev)
             _sync(words, "twopass", t)
             fetches.append((members, words, flush, nwords))
         else:
-            emit, byte, carry, _ = _twopass_packed_jit()(pk, window)
+            emit, byte, carry, _ = _twopass_packed_jit()(pk, window,
+                                                         template=tpl_dev)
             _sync(byte, "twopass", t)
             bytes_u8, mask, nbytes = _pack_out_jit()(emit, byte, carry)
             _sync(mask, "pack", t)

@@ -272,7 +272,8 @@ _VCOUNTS = None
 
 def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
                            component_sizes, splits_y, color_index=None,
-                           window: int = 32, segment_range=None):
+                           window: int = 32, segment_range=None,
+                           template=None):
     """Whole-image on-device encode: symbolize + assemble + phase-B.
 
     Returns (streams list of bytes per segment) ready for mux_streams --
@@ -282,6 +283,8 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
     contiguous slice of segments (the multi-host per-process share);
     symbolization still covers the whole plane (it is segment-agnostic
     except for the masked top rows, which depend only on splits_y).
+    template: optional packed uint32 [ARENA_SIZE] trained-model start
+    state (LEPTON_COMPRESSION_MODEL) for the phase-B model recurrence.
     """
     import os
     import time as _time
@@ -402,7 +405,9 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
     # 4. phase-B on device, then per-lane output compaction via the sort
     # trick (emitted bytes first, in order) -- scatters stay off the TPU
     emit, byte, carry, nbytes = vpx_scan.encode_streams_twopass(
-        oi, ob, window=window)
+        oi, ob, window=window,
+        template=None if template is None
+        else jnp.asarray(template, jnp.uint32))
     if prof:
         jax.block_until_ready(nbytes)
     mark("phase-B")

@@ -101,7 +101,9 @@ def _branch_update(fc, tc, bit):
     ntc = jnp.where(ovf, otc, ntc)
     numer = jnp.where(ovf, ofc, jnp.where(obs, fc, fc + 1)) << 8
     denom = jnp.where(ovf, ofc + otc, tot)
-    nprob = _div_exact(numer, denom)
+    # & 0xFF: the host stores the prob through a uint8 LUT; the tc == 0
+    # corner (trained-model templates only) wraps
+    nprob = _div_exact(numer, denom) & 0xFF
     never = ovf & jnp.where(obs, fc == 1, tc == 1)
     nfc = jnp.where(never, jnp.where(obs, 1, 0xFF), nfc)
     ntc = jnp.where(never, jnp.where(obs, 0xFF, 1), ntc)
@@ -120,7 +122,7 @@ def _branch_update_adv(fc, tc, bit):
     ovf = val == 0xFF
     nfc = jnp.where(ovf, jnp.where(obs, (fc + 1) >> 1, 129), nfc)
     ntc = jnp.where(ovf, jnp.where(obs, 129, (tc + 1) >> 1), ntc)
-    nprob = _div_exact(nfc << 8, nfc + ntc) | 1
+    nprob = (_div_exact(nfc << 8, nfc + ntc) & 0xFF) | 1
     return nfc, ntc, nprob
 
 
@@ -238,14 +240,20 @@ def _extract_lane(v, c):
     return jnp.sum(jnp.where(lane == c, v, 0))
 
 
-def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder="vpx"):
+def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder="vpx",
+                  templated=False):
     """The decode kernel, specialized on static geometry.
 
     coder "ans" (format v3): data_ref holds little-endian uint32 stream
     WORDS (one per element) and meta[s,0] is the word count; reads go
     through the two-state rANS forward reader (ans_bool_reader.hh /
     rans64.hh decode step) with the adv-model update rule, and there is
-    no initial marker bit."""
+    no initial marker bit.
+
+    templated: the kernel takes one extra VMEM input (packed trained-
+    model arena [AR_ROWS, LANES], the LEPTON_COMPRESSION_MODEL start
+    state) copied into the per-segment arena instead of the identity
+    fill (load_probability_tables, model.cc:407-421)."""
     s70, s71, s72, _ = _STR["nz_7x7"]
     e70, e71, e72, e73, _ = _STR["exp_7x7"]
     r70, r71, r72, _ = _STR["residual_noise"]
@@ -259,11 +267,18 @@ def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder="vpx"):
 
     def kernel(luts_ref, meta_ref, rowdesc_ref, data_ref,
                q88_ref, qflat_ref, icxT_ref, icy88_ref, mnt_ref,
-               coef_ref, err_ref, arena, ringc, rings):
+               *rest):
+        if templated:
+            tpl_ref = rest[0]
+            rest = rest[1:]
+        coef_ref, err_ref, arena, ringc, rings = rest
         s = pl.program_id(0)
         lane1 = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-        arena[...] = jnp.full((AR_ROWS, LANES), 0x010180, jnp.int32)
+        if templated:
+            arena[...] = tpl_ref[...]
+        else:
+            arena[...] = jnp.full((AR_ROWS, LANES), 0x010180, jnp.int32)
         # rows truncated by early EOF never get written: the plane
         # contract is zero there (the XLA kernel zero-fills its buffer)
         coef_ref[...] = jnp.zeros((n_flat, LANES), jnp.int32)
@@ -762,12 +777,15 @@ def _build_luts():
 def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
                            max_coded_heights, component_sizes, splits_y,
                            color_index=None, interpret=False,
-                           coder="vpx"):
+                           coder="vpx", template=None):
     """Decode per-segment VPX or ANS (v3) streams on the TPU via the
     Pallas kernel.
 
     Same contract as vpx_decode.decode_segments_tpu: returns (planes
-    list of int16 [H_c, W_c, 64], err bool [S])."""
+    list of int16 [H_c, W_c, 64], err bool [S]).
+    template: optional packed uint32 [ARENA_SIZE] trained-model start
+    arena (LEPTON_COMPRESSION_MODEL) used as every segment's initial
+    model state."""
     from .encode_pipeline import plan_rows
 
     def _bucket(v, q):
@@ -866,13 +884,19 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
 
     luts = _build_luts()
     fn = _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret,
-                     coder)
-    coef, err = fn(
+                     coder, template is not None)
+    args = [
         jnp.asarray(luts), jnp.asarray(meta),
         jnp.asarray(rowdesc.reshape(S * Tmax, LANES)),
         jnp.asarray(data.reshape(S * Lrows, LANES)),
         jnp.asarray(q88), jnp.asarray(qflat), jnp.asarray(icxT),
-        jnp.asarray(icy88), jnp.asarray(mnt))
+        jnp.asarray(icy88), jnp.asarray(mnt)]
+    if template is not None:
+        tpl2d = np.zeros(AR_ROWS * LANES, np.uint32)
+        tpl2d[:ARENA_SIZE] = np.asarray(template, np.uint32)
+        args.append(jnp.asarray(
+            tpl2d.view(np.int32).reshape(AR_ROWS, LANES)))
+    coef, err = fn(*args)
 
     coef_np = np.asarray(coef).reshape(S, n_flat, LANES)[:, :, :64] \
         .astype(np.int16)
@@ -890,16 +914,14 @@ from functools import lru_cache
 
 @lru_cache(maxsize=32)
 def _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret,
-                coder="vpx"):
+                coder="vpx", templated=False):
     """jit-wrapped pallas_call per static geometry: tracing the (large)
     kernel costs seconds in Python, so it must happen once per shape,
     not per call."""
-    kernel = _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder)
+    kernel = _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder,
+                           templated)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(S,),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),        # luts
             pl.BlockSpec(memory_space=pltpu.SMEM),        # meta [S,8]
             pl.BlockSpec((Tmax, LANES), lambda s: (s, 0),
@@ -911,7 +933,14 @@ def _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret,
             pl.BlockSpec(memory_space=pltpu.VMEM),        # icxT
             pl.BlockSpec(memory_space=pltpu.VMEM),        # icy88
             pl.BlockSpec(memory_space=pltpu.VMEM),        # mnt
-        ],
+    ]
+    if templated:
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.VMEM))        # template
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(S,),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((n_flat, LANES), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),        # coef

@@ -103,11 +103,23 @@ def _packed_lut_adv():
     return _PLUT_ADV_NP
 
 
-def state_init(num_lanes: int):
+def state_init(num_lanes: int, template=None):
     """Fresh per-lane state: identity arena (1,1,128), reader registers
-    at vpx_reader_init values."""
-    buf = jnp.full((num_lanes, NSLOT), np.uint32(0x010180),
-                   dtype=jnp.uint32)
+    at vpx_reader_init values.
+    template: optional packed uint32 [ARENA_SIZE] trained-model start
+    state (c0<<16 | c1<<8 | prob, load-normalized counts -- the
+    LEPTON_COMPRESSION_MODEL hook, model.cc:407-421) broadcast as every
+    lane's initial arena."""
+    if template is not None:
+        arena = jnp.broadcast_to(
+            jnp.asarray(template, jnp.uint32)[None, :],
+            (num_lanes, template.shape[0]))
+        regs = jnp.full((num_lanes, NSLOT - ARENA_SIZE),
+                        np.uint32(0x010180), dtype=jnp.uint32)
+        buf = jnp.concatenate([arena, regs], axis=1)
+    else:
+        buf = jnp.full((num_lanes, NSLOT), np.uint32(0x010180),
+                       dtype=jnp.uint32)
     buf = buf.at[:, R_VALUE].set(0)
     buf = buf.at[:, R_RANGE].set(255)
     buf = buf.at[:, R_COUNT].set(_i2u(jnp.full(num_lanes, -8, jnp.int32)))
@@ -119,7 +131,7 @@ def state_init(num_lanes: int):
     return buf
 
 
-def state_init_ans(words: jnp.ndarray):
+def state_init_ans(words: jnp.ndarray, template=None):
     """Fresh per-lane state for the ANS (v3) reader: identity arena and
     the two interleaved rANS states pre-loaded from the stream head
     (ans_bool_reader.hh init: r0 = words[0] | words[1]<<32,
@@ -130,7 +142,7 @@ def state_init_ans(words: jnp.ndarray):
       R_AUX = word cursor.
     words: uint32 [S, W] little-endian stream words (zero-padded)."""
     S = words.shape[0]
-    buf = state_init(S)
+    buf = state_init(S, template=template)
     pad = jnp.zeros((S, 4), jnp.uint32)
     w = jnp.concatenate([words[:, :4], pad], axis=1)
     buf = buf.at[:, R_VALUE].set(w[:, 1])
@@ -390,7 +402,7 @@ def decode_blocks_scan(num_lanes: int,
                        quant_tab: jnp.ndarray, icosx_tab: jnp.ndarray,
                        icosy_tab: jnp.ndarray, mnt_tab: jnp.ndarray,
                        ci_tab: jnp.ndarray, n_flat: int, row_stride: int,
-                       coder: str = "vpx"):
+                       coder: str = "vpx", template=None):
     """Decode all lanes' block sequences in lockstep.
 
     data: uint8 [S, Lmax] per-lane compressed streams; dlen int32 [S].
@@ -420,11 +432,11 @@ def decode_blocks_scan(num_lanes: int,
     if coder == "ans":
         plut = jnp.asarray(_packed_lut_adv())
         read = make_read_ans(lanes, data, dlen, plut)
-        buf = state_init_ans(data)
+        buf = state_init_ans(data, template=template)
     else:
         plut = jnp.asarray(_packed_lut())
         read = make_read(lanes, data, dlen, plut, vpx_norm)
-        buf = state_init(S)
+        buf = state_init(S, template=template)
         # marker bit (vpx_reader_init / vpx_start_encode), probability 128
         buf, _ = read(buf, jnp.full(S, FIXED128, jnp.int32),
                       jnp.ones(S, bool), adaptive=False)
@@ -752,7 +764,7 @@ def decode_blocks_scan(num_lanes: int,
 def decode_segments_tpu(streams, plane_shapes, color_tables, mcuv,
                         max_coded_heights, component_sizes, splits_y,
                         color_index=None, mesh=None, mesh_axis="seg",
-                        coder="vpx"):
+                        coder="vpx", template=None):
     """Decode per-segment VPX streams into coefficient planes on-device.
 
     streams: list of bytes (one independent arithmetic stream per
@@ -762,6 +774,8 @@ def decode_segments_tpu(streams, plane_shapes, color_tables, mcuv,
     splits_y: luma_y_start per segment.
     mesh/mesh_axis: optional jax Mesh -- lanes (= segments) shard across
     the named axis via shard_map (every carried array is lane-major).
+    template: optional packed uint32 [ARENA_SIZE] trained-model start
+    arena (LEPTON_COMPRESSION_MODEL), broadcast to every lane.
 
     Returns (planes list of int16 [H_c, W_c, 64], err bool [S]).
     """
@@ -886,11 +900,13 @@ def decode_segments_tpu(streams, plane_shapes, color_tables, mcuv,
         lane0 = P(mesh_axis)
         lane1 = P(None, mesh_axis)
         rep = P()
+        tpl = None if template is None \
+            else jnp.asarray(template, jnp.uint32)
         fn = shard_map(
             lambda d, dl, xc, xf, xa, xl, xv, qt, ix, iy, mt, ct:
             decode_blocks_scan(S_local, d, dl, xc, xf, xa, xl, xv,
                                qt, ix, iy, mt, ct, n_flat, Wmax,
-                               coder=coder),
+                               coder=coder, template=tpl),
             mesh=mesh,
             in_specs=(lane0, lane0, lane1, lane1, lane1, lane1, lane1,
                       rep, rep, rep, rep, rep),
@@ -901,7 +917,9 @@ def decode_segments_tpu(streams, plane_shapes, color_tables, mcuv,
         coef_lanes, err = fn(*args, *tabs)
     else:
         coef_lanes, err = decode_blocks_scan(
-            S, *args, *tabs, n_flat, Wmax, coder=coder)
+            S, *args, *tabs, n_flat, Wmax, coder=coder,
+            template=None if template is None
+            else jnp.asarray(template, jnp.uint32))
     coef_np = np.asarray(coef_lanes)
     planes = [np.zeros((heights[c], widths[c], 64), np.int16)
               for c in range(ncomp)]

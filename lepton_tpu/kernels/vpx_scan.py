@@ -483,7 +483,10 @@ def _branch_update_adv(fc, tc, bit):
     ovf = val == 0xFF
     nfc = jnp.where(ovf, jnp.where(obs, (fc + 1) >> 1, 129), nfc)
     ntc = jnp.where(ovf, jnp.where(obs, 129, (tc + 1) >> 1), ntc)
-    nprob = _exact_div_f32(nfc << 8, nfc + ntc) | 1
+    # & 0xFF: the host stores the prob through a uint8 LUT, so the
+    # (tc == 0) corner -- reachable only from trained-model templates --
+    # wraps; a no-op on identity-reachable states (tc >= 1 there)
+    nprob = (_exact_div_f32(nfc << 8, nfc + ntc) & 0xFF) | 1
     return nfc, ntc, nprob
 
 
@@ -507,7 +510,9 @@ def _branch_update_arith(fc, tc, bit):
     ntc = jnp.where(ovf, otc, ntc)
     numer = jnp.where(ovf, ofc, jnp.where(obs, fc, fc + 1)) << 8
     denom = jnp.where(ovf, ofc + otc, tot)
-    nprob = _exact_div_f32(numer, denom)
+    # & 0xFF: match the host's uint8 LUT wrap on the (tc == 0) corner
+    # (trained-model templates only; identity-reachable states keep tc>=1)
+    nprob = _exact_div_f32(numer, denom) & 0xFF
     # never-seen saturation (the other count still at identity)
     never = ovf & jnp.where(obs, fc == 1, tc == 1)
     nfc = jnp.where(never, jnp.where(obs, 1, 0xFF), nfc)
@@ -518,12 +523,19 @@ def _branch_update_arith(fc, tc, bit):
 
 @partial(jax.jit, static_argnames=("window", "update"))
 def model_probs_sorted(idxs: jnp.ndarray, bits: jnp.ndarray,
-                       window: int = 32, update: str = "vpx"):
+                       window: int = 32, update: str = "vpx",
+                       template=None):
     """Per-symbol coding probabilities via the sorted-branch model pass.
 
     idxs int32 [S, L] (PAD / FIXED_PROB / branch), bits uint8 [S, L].
     update: "vpx" (record_obs_and_update) or "adv" (the ANS backend rule,
     branch.hh:66-80: probability from post-update counts, ORed with 1).
+    template: optional packed uint32 [ARENA_SIZE] trained-model start
+    state (c0<<16 | c1<<8 | prob, counts already load-normalized to
+    (1+c)>>1 -- model.cc:407-421): every branch's registers initialize
+    from it instead of the identity (1,1,128).  The prob byte is the
+    file's cached byte, exactly what the host coder codes the branch's
+    first observation with.
     Returns probs int32 [S, L] in STREAM order: the adaptive probability
     each symbol is coded with (128 for FIXED_PROB/PAD slots).
     """
@@ -548,16 +560,27 @@ def model_probs_sorted(idxs: jnp.ndarray, bits: jnp.ndarray,
     steps = pad_L // W
     xs = (sidx.T.reshape(steps, W, S), sbit.T.reshape(steps, W, S),
           newseg.T.reshape(steps, W, S))
+    if template is not None:
+        # one vectorized gather of each sorted branch's start state (the
+        # trained-model path is feature-parity, not the hot default)
+        tpl = template[jnp.clip(sidx, 0, template.shape[0] - 1)]
+        xs = xs + (tpl.T.reshape(steps, W, S).astype(jnp.int32),)
 
     def step(state, x):
-        si, sb, ns = x                   # [W, S]
+        si, sb, ns = x[0], x[1], x[2]    # [W, S]
         fc, tc, prob = state             # int32 [S] registers
         probs = []
         for k in range(W):
             adaptive = si[k] >= 0
-            fc = jnp.where(ns[k], 1, fc)
-            tc = jnp.where(ns[k], 1, tc)
-            prob = jnp.where(ns[k], 128, prob)
+            if template is None:
+                fc = jnp.where(ns[k], 1, fc)
+                tc = jnp.where(ns[k], 1, tc)
+                prob = jnp.where(ns[k], 128, prob)
+            else:
+                tp = x[3][k]
+                fc = jnp.where(ns[k], (tp >> 16) & 0xFF, fc)
+                tc = jnp.where(ns[k], (tp >> 8) & 0xFF, tc)
+                prob = jnp.where(ns[k], tp & 0xFF, prob)
             probs.append(jnp.where(adaptive, prob, 128))
             if update == "adv":
                 fc2, tc2, prob2 = _branch_update_adv(fc, tc, sb[k])
@@ -645,10 +668,12 @@ def arith_pass(idxs: jnp.ndarray, bits: jnp.ndarray, probs: jnp.ndarray,
     return emit, byte, carry, nbytes
 
 
-def encode_streams_twopass(idxs, bits, window: int = 32):
+def encode_streams_twopass(idxs, bits, window: int = 32, template=None):
     """Sort-based two-pass phase-B (see banner above): bit-exact with
-    encode_streams, no arena, no scatters, O(1) state per lane."""
-    probs = model_probs_sorted(idxs, bits, window)
+    encode_streams, no arena, no scatters, O(1) state per lane.
+    template: optional packed uint32 [ARENA_SIZE] trained-model start
+    state (see model_probs_sorted)."""
+    probs = model_probs_sorted(idxs, bits, window, template=template)
     return arith_pass(idxs, bits, probs, window)
 
 
@@ -820,11 +845,13 @@ def finalize_ans_streams(ys, flush, padNP):
     return out
 
 
-def encode_streams_ans(segments, window: int = 16):
+def encode_streams_ans(segments, window: int = 16, template=None):
     """Full on-device v3 encode of per-segment (branch, bit) streams:
     sorted-branch model pass with the adv update rule, then the reverse
     rANS register chain.  Returns list of per-segment v3 stream bytes,
-    bit-exact with coder.ans.ANSWriter."""
+    bit-exact with coder.ans.ANSWriter.
+    template: optional packed uint32 [ARENA_SIZE] trained-model start
+    state (see model_probs_sorted)."""
     S = len(segments)
     L = max(1, max(len(i) for i, _ in segments))
     idxs = np.full((S, L), PAD, dtype=np.int32)
@@ -836,6 +863,6 @@ def encode_streams_ans(segments, window: int = 16):
         nsyms[s] = len(i)
     ij = jnp.asarray(idxs)
     bj = jnp.asarray(bits)
-    probs = model_probs_sorted(ij, bj, 32, update="adv")
+    probs = model_probs_sorted(ij, bj, 32, update="adv", template=template)
     ys, flush, padNP = ans_pass(probs, bj, jnp.asarray(nsyms), window)
     return finalize_ans_streams(ys, flush, padNP)

@@ -247,6 +247,12 @@ def _serve_tpu(socks, opts) -> int:
             reqs.append([conn, zw, data, b""])
         try:
             _process_batch_bounded(reqs, opts)
+            # observable batch fill (socket_serve.cc logs per-request;
+            # the batch size is THE serving-efficiency statistic here)
+            sys.stderr.write(
+                f"tpu batch served n={len(reqs)} "
+                f"bytes={sum(len(r[2]) for r in reqs)}\n")
+            sys.stderr.flush()
         except (Exception, SystemExit) as e:   # keep the server alive
             sys.stderr.write(f"tpu batch failed: {e!r}\n")
         for conn, zw, _, out in reqs:
@@ -272,21 +278,21 @@ def serve(socket_path, listen_port, zlib_port, max_children, opts) -> int:
             pass
         s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         s.bind(socket_path)
-        s.listen(16)
+        s.listen(128)
         socks.append((s, False))
         sys.stderr.write(f"listening on {socket_path}\n")
     if listen_port:
         s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(("0.0.0.0", listen_port))
-        s.listen(16)
+        s.listen(128)
         socks.append((s, False))
         sys.stderr.write(f"listening on tcp {listen_port}\n")
     if zlib_port:
         s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(("0.0.0.0", zlib_port))
-        s.listen(16)
+        s.listen(128)
         socks.append((s, True))
         sys.stderr.write(f"listening on zlib tcp {zlib_port}\n")
     if not socks:

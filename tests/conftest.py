@@ -58,3 +58,20 @@ def ref_binary():
     if not os.path.exists(REFERENCE_BINARY) and not _try_build_reference():
         pytest.skip("reference lepton binary not built")
     return REFERENCE_BINARY
+
+
+@pytest.fixture(scope="session")
+def synth_model(tmp_path_factory):
+    """A synthetic trained-model file exercising the FULL branch-state
+    domain: random counts 0..255 (load-normalization can yield 0), prob
+    bytes restricted to 1..254 (0/255 first-use probs are degenerate for
+    both coder backends -- freq 0 breaks the rANS interval in the host C
+    coder too, so real trained models avoid them the same way)."""
+    import numpy as np
+    from lepton_tpu.model.tables import ARENA_SIZE
+    rng = np.random.default_rng(42)
+    raw = rng.integers(0, 256, (ARENA_SIZE, 3), dtype=np.uint8)
+    raw[:, 2] = 1 + raw[:, 2] % 254
+    path = tmp_path_factory.mktemp("model") / "synth_model.bin"
+    path.write_bytes(raw.tobytes())
+    return str(path)

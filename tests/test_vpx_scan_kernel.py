@@ -123,6 +123,29 @@ def test_exact_div_f32_branch_domain():
     assert np.array_equal(q, (c << 8) // d)
 
 
+def test_branch_updates_full_domain():
+    """The gather-free vector branch updates match the host's uint8
+    transition LUTs over the FULL (fc, tc) in [0,255]^2 domain -- not
+    just identity-reachable states.  Trained-model templates start
+    branches at load-normalized counts (including 0), where the host LUT
+    wraps the prob byte mod 256; kernel parity must hold there too."""
+    import jax.numpy as jnp
+    from lepton_tpu.model.branch import next_state_lut, next_state_lut_adv
+    fc = np.repeat(np.arange(256), 256).astype(np.int32)
+    tc = np.tile(np.arange(256), 256).astype(np.int32)
+    for bit in (0, 1):
+        b = np.full(fc.shape, bit, np.int32)
+        for fn, lut in ((V._branch_update_arith, next_state_lut()),
+                        (V._branch_update_adv, next_state_lut_adv())):
+            nfc, ntc, npr = [np.asarray(v) for v in
+                             fn(jnp.asarray(fc), jnp.asarray(tc),
+                                jnp.asarray(b))]
+            want = lut[fc, tc, bit]
+            assert np.array_equal(nfc & 0xFF, want[:, 0]), fn
+            assert np.array_equal(ntc & 0xFF, want[:, 1]), fn
+            assert np.array_equal(npr, want[:, 2]), fn
+
+
 def test_div64_small_wide_domain():
     """The rANS put-step divider is exact over its REAL domain: hi up to
     2^31 (inexact in f32!) with the put-step invariant hi < freq<<23.
