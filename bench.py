@@ -234,8 +234,31 @@ def bench_ans_v3():
                    decode_mbps=round(mb / dt, 2),
                    ratio=round(len(lep) / len(data), 4))
         # live same-host comparison against the reference's own ANS
-        # build (same subprocess methodology as the VPX baseline above)
+        # build (same subprocess methodology as the VPX baseline above);
+        # rebuild it when missing (r4 silently dropped the ref fields
+        # because the build was absent -- VERDICT r4 item 7).  NOTE: must
+        # use the cmake OPTION, not CXX_FLAGS (CLAUDE.md: the flags-only
+        # build produces a binary that asserts on encode).
         refbin = "/tmp/refbuild-ans/lepton"
+        if not os.path.exists(refbin):
+            import shutil
+            import subprocess
+            try:
+                if os.path.isdir("/root/reference") and shutil.which("cmake") \
+                        and shutil.which("ninja"):
+                    os.makedirs("/tmp/refbuild-ans", exist_ok=True)
+                    subprocess.run(
+                        ["cmake", "/root/reference",
+                         "-DCMAKE_BUILD_TYPE=Release", "-G", "Ninja",
+                         "-DENABLE_ANS_EXPERIMENTAL=ON"],
+                        cwd="/tmp/refbuild-ans", capture_output=True,
+                        timeout=600, check=True)
+                    subprocess.run(["ninja", "lepton"],
+                                   cwd="/tmp/refbuild-ans",
+                                   capture_output=True, timeout=1200,
+                                   check=True)
+            except Exception:
+                pass
         if os.path.exists(refbin):
             import subprocess
             ret = rdt = 1e18
@@ -502,29 +525,53 @@ def bench_tpu_batch_encode():
         return dict(error=repr(e)[:200])
 
 
-def _gen_knee_corpus(n: int = 128, side: int = 320, seed: int = 7):
-    """n distinct mid-size synthetic JPEGs (PIL, seeded): the >=2048-lane
-    wave that runs phase-B at its measured knee (tools/phaseb_scaling.py:
-    ~500 Msym/s marginal at 2048 lanes).  Distinct pixel content defeats
-    the tunnel's identical-execution memoization."""
+def _gen_knee_corpus(n: int = 128, side: int = 1024, seed: int = 7,
+                     quality: int = 92):
+    """n distinct synthetic JPEGs big enough that choose_num_threads
+    assigns 16 segments each (scan >= 500KB, jpgcoder.cc:3898-3916), so
+    n x 16 = 2048 coder lanes -- the measured phase-B knee
+    (tools/phaseb_scaling.py: ~500 Msym/s marginal at 2048 lanes).
+
+    The r4 version generated ~32KB images whose scans collapsed to ONE
+    segment each (128 lanes, not 2048); side=1024 with sigma-20 noise at
+    q92 measures a 572KB scan over 65 luma block rows (VERDICT r4 item 1).
+    Distinct pixel content defeats the tunnel's identical-execution
+    memoization.  Generation is cached on disk: ~10s of PIL work."""
     import io
     import numpy as np
     try:
         from PIL import Image
     except ImportError:
         return None
+    cache = f"/tmp/lepton_knee_{n}x{side}q{quality}s{seed}"
+    if os.path.isdir(cache):
+        try:
+            blobs = [open(os.path.join(cache, f"{i:03}.jpg"), "rb").read()
+                     for i in range(n)]
+            if all(blobs):
+                return blobs
+        except OSError:
+            pass
     rng = np.random.default_rng(seed)
     blobs = []
     for i in range(n):
         yy, xx = np.mgrid[0:side, 0:side]
         base = (xx * (80 + i % 40) / side + yy * (60 + i % 23) / side)
-        noise = rng.normal(0, 14 + (i % 9), size=(side, side))
+        noise = rng.normal(0, 18 + (i % 5), size=(side, side))
         ch = np.clip(base + noise, 0, 255).astype(np.uint8)
         arr = np.stack([ch, np.roll(ch, 5 + i % 11, 0),
                         np.roll(ch, 9 + i % 7, 1)], axis=-1)
         buf = io.BytesIO()
-        Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=82)
+        Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=quality,
+                                         subsampling=2)
         blobs.append(buf.getvalue())
+    try:
+        os.makedirs(cache, exist_ok=True)
+        for i, b in enumerate(blobs):
+            with open(os.path.join(cache, f"{i:03}.jpg"), "wb") as f:
+                f.write(b)
+    except OSError:
+        pass
     return blobs
 
 

@@ -10,6 +10,7 @@ Pipeline (reference call stacks, SURVEY.md section 3):
 from __future__ import annotations
 
 import os
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -796,8 +797,21 @@ def _parse_jpeg_jailed(jpeg_data: bytes, allow_progressive: bool,
     The return channel is deserialized with a class-allowlisted Unpickler:
     a hostile input that fully compromised the jailed child must not be
     able to smuggle an arbitrary-code pickle into the unjailed parent --
-    that would undo exactly the isolation the fork buys."""
+    that would undo exactly the isolation the fork buys.
+
+    Fork-vs-threads (VERDICT r4 item 9): the COLD accelerator paths now
+    parse before the first jax import, matching the reference's order
+    (Seccomp.cc:67-138 installs before read_jpeg, after worker spawn --
+    jpgcoder.cc:1766).  A WARM device process (serving) necessarily forks
+    with the JAX runtime's threads live; the child only runs our own
+    parse code plus pickle/os.write, none of which takes runtime locks,
+    and a child that deadlocks on an inherited lock anyway is bounded by
+    the read watchdog below: the parent SIGKILLs the exact child pid
+    after LEPTON_PARSE_TIMEOUT_S (default 300) and maps it to a parse
+    failure, so no input can wedge the device process."""
     import pickle
+    import select
+    import signal
     import struct
 
     from .util.sandbox import install_jail
@@ -842,14 +856,25 @@ def _parse_jpeg_jailed(jpeg_data: bytes, allow_progressive: bool,
             pass
         os._exit(code)
     os.close(w)
+    deadline = time.monotonic() + float(
+        os.environ.get("LEPTON_PARSE_TIMEOUT_S", 300))
     chunks = []
+    timed_out = False
     while True:
+        wait = deadline - time.monotonic()
+        if wait <= 0 or not select.select([r], [], [], wait)[0]:
+            timed_out = True
+            break
         b = os.read(r, 1 << 20)
         if not b:
             break
         chunks.append(b)
     os.close(r)
+    if timed_out:
+        os.kill(pid, signal.SIGKILL)
     os.waitpid(pid, 0)
+    if timed_out:
+        raise LeptonError("jailed parse child timed out")
     blob = b"".join(chunks)
     if len(blob) < 8:
         raise LeptonError("jailed parse child died (hostile input?)")
@@ -939,12 +964,9 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
     sorted-branch model pass with the adv update rule + the reverse
     rANS register chain, kernels.vpx_scan.encode_streams_ans).
     """
-    from . import _configure_jax_cache
-    _configure_jax_cache()
-    import jax
-
-    from .kernels import vpx_scan
-
+    # jailed parse FIRST: on the cold path this forks before the jax
+    # import below initializes the runtime's threads (VERDICT r4 item 9;
+    # the reference's Seccomp-before-read_jpeg ordering, jpgcoder.cc:1766)
     if jailed_parse:
         parsed, info, dec = _parse_jpeg_jailed(
             jpeg_data, allow_progressive, allow_four_colors)
@@ -956,6 +978,12 @@ def compress_tpu(jpeg_data: bytes, num_segments: int = 16,
             raise UnsupportedJpeg("4 colors unsupported")
         dec = decode_scans(parsed, info,
                            allow_progressive=allow_progressive)
+
+    from . import _configure_jax_cache
+    _configure_jax_cache()
+    import jax
+
+    from .kernels import vpx_scan
     row_handoffs = dec.handoffs
     fb_size = row_handoffs[-1].segment_size - row_handoffs[0].segment_size
     num_threads = choose_num_threads(len(row_handoffs), fb_size,
@@ -1048,15 +1076,7 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
     Returns a list of .lep containers, each byte-identical to
     compress_tpu on the same input.
     """
-    from . import _configure_jax_cache
-    _configure_jax_cache()
     legacy = os.environ.get("LEPTON_TPU_BATCH_V1") == "1"
-    if legacy:
-        from .kernels.encode_pipeline import encode_images_device
-    else:
-        from .kernels.batch_encode import encode_images_device
-    from .model.context import ColorTables
-
     if legacy and (version == 3
                    or os.environ.get("LEPTON_COMPRESSION_MODEL")):
         # the retired r3 pipeline never grew rANS lanes or templates
@@ -1065,6 +1085,9 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
                              version=version, jailed_parse=jailed_parse)
                 for b in jpeg_blobs]
 
+    # parse (and fork, when jailed) BEFORE any jax import: on the cold
+    # path the children then precede the runtime's threads (VERDICT r4
+    # item 9; jpgcoder.cc:1766 ordering)
     import time as _time
     _t0 = _time.time()
     descs = []
@@ -1093,9 +1116,13 @@ def batch_compress_tpu(jpeg_blobs, num_segments: int = 16,
         metas.append((parsed, dec, splits, num_threads))
     _apply_model_env()
     _t_parse = _time.time() - _t0
+    from . import _configure_jax_cache
+    _configure_jax_cache()
     if legacy:
+        from .kernels.encode_pipeline import encode_images_device
         all_streams = encode_images_device(descs, window=window)
     else:
+        from .kernels.batch_encode import encode_images_device
         all_streams = encode_images_device(
             descs, window=window, version=version,
             template=_model_template_packed())
