@@ -48,7 +48,9 @@ _CAP = (1 << _RNF) - 1
 _OFF = {k: int(v) for k, v in TABLE_OFFSETS.items()}
 _STR = {k: tuple(int(s) for s in v) for k, v in TABLE_STRIDES.items()}
 
-# rowdesc lanes: 0=comp, 1=ci, 2=width, 3=has_above, 4=fi0, 5=live
+# rowdesc lanes: 0=comp (lane-local: ring/output indexing), 1=ci,
+# 2=width, 3=has_above, 4=fi0, 5=live, 6=comp_tab (global color-table
+# row -- differs from comp when many images share one kernel call)
 RD_FIELDS = 8
 
 
@@ -449,13 +451,14 @@ def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder="vpx",
             width = _extract_lane(desc, 2)
             has_above = _extract_lane(desc, 3) != 0
             fi0 = _extract_lane(desc, 4)
+            ctab = _extract_lane(desc, 6)
 
-            q88 = q88_ref[pl.ds(comp * 8, 8), :]
-            qflat = qflat_ref[pl.ds(comp, 1), :]
+            q88 = q88_ref[pl.ds(ctab * 8, 8), :]
+            qflat = qflat_ref[pl.ds(ctab, 1), :]
             q0 = _extract_lane(qflat, 0)
-            icxT = icxT_ref[pl.ds(comp * 8, 8), :]
-            icy88 = icy88_ref[pl.ds(comp * 8, 8), :]
-            mnt = mnt_ref[pl.ds(comp, 1), :]
+            icxT = icxT_ref[pl.ds(ctab * 8, 8), :]
+            icy88 = icy88_ref[pl.ds(ctab * 8, 8), :]
+            mnt = mnt_ref[pl.ds(ctab, 1), :]
             ringbase = comp * Wmax
 
             sign_base = _OFF["sign"] + ci * sg0
@@ -786,6 +789,30 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
     template: optional packed uint32 [ARENA_SIZE] trained-model start
     arena (LEPTON_COMPRESSION_MODEL) used as every segment's initial
     model state."""
+    req = dict(streams=streams, plane_shapes=plane_shapes,
+               color_tables=color_tables, mcuv=mcuv,
+               max_coded_heights=max_coded_heights,
+               component_sizes=component_sizes, splits_y=splits_y,
+               color_index=color_index)
+    (planes, err), = decode_segments_pallas_multi(
+        [req], interpret=interpret, coder=coder, template=template)
+    return planes, err
+
+
+def decode_segments_pallas_multi(requests, interpret=False,
+                                 coder="vpx", template=None):
+    """Decode MANY containers' segments in ONE pallas_call: every
+    request's segments become grid steps of a shared kernel invocation
+    (the serving decode-batching design, VERDICT r4 item 5; matching
+    socket_serve.cc:91-120 where both directions ride the same loop).
+
+    Each request is a dict with keys streams, plane_shapes,
+    color_tables, mcuv, max_coded_heights, component_sizes, splits_y,
+    color_index.  Color tables concatenate into one global comp-table
+    space (rowdesc lane 6 = comp_tab); ring/output indexing stays
+    lane-local, so VMEM scratch is sized by the largest single image,
+    not the batch.  Grid and table dims bucket so warm serving reuses
+    compiled shapes.  Returns a list of (planes, err) per request."""
     from .encode_pipeline import plan_rows
 
     def _bucket(v, q):
@@ -794,58 +821,78 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
         cache small (compiles cost minutes through the tunnel)."""
         return (v + q - 1) // q * q
 
-    ncomp = len(plane_shapes)
-    S = len(streams)
-    heights = [h for h, _ in plane_shapes]
-    widths = [w for _, w in plane_shapes]
-    Wmax = _bucket(max(widths), 64)
-    plans = plan_rows(heights, mcuv, max_coded_heights, splits_y)
-    assert len(plans) == S, (len(plans), S)
-
+    lane_rows = []                 # global lanes across requests
+    lane_rowmap = []
+    lane_req = []
+    req_geom = []
+    comp_base = 0
+    Wmax = 64
     max_comp_rows = 1
-    for plan in plans:
-        per = {}
-        for comp, y in plan:
-            per[comp] = per.get(comp, 0) + 1
-        if per:
-            max_comp_rows = max(max_comp_rows, max(per.values()))
-    n_flat = _bucket(ncomp * max_comp_rows * Wmax, 512)
+    ncomp_ring = 1
+    for ri, rq in enumerate(requests):
+        plane_shapes = rq["plane_shapes"]
+        ncomp = len(plane_shapes)
+        heights = [h for h, _ in plane_shapes]
+        widths = [w for _, w in plane_shapes]
+        Wmax = max(Wmax, _bucket(max(widths), 64))
+        ncomp_ring = max(ncomp_ring, ncomp)
+        plans = plan_rows(heights, rq["mcuv"], rq["max_coded_heights"],
+                          rq["splits_y"])
+        assert len(plans) == len(rq["streams"]), \
+            (len(plans), len(rq["streams"]))
+        for plan in plans:
+            per = {}
+            for comp, y in plan:
+                per[comp] = per.get(comp, 0) + 1
+            if per:
+                max_comp_rows = max(max_comp_rows, max(per.values()))
+        req_geom.append((plans, heights, widths, comp_base, ncomp))
+        comp_base += ncomp
+    ncomp_tab = _bucket(comp_base, 4)
+    n_flat = _bucket(ncomp_ring * max_comp_rows * Wmax, 512)
 
     # per-lane row descriptors (the same geometry as the XLA wrapper's
     # per-block lists, lifted to row granularity for the in-kernel loop)
-    lane_rows = []
-    lane_rowmap = []
-    for s_i in range(S):
-        seen_first = {}
-        rows = []
-        rowmap = []
-        for comp, y in plans[s_i]:
-            if comp not in seen_first:
-                seen_first[comp] = y
-            local_row = y - seen_first[comp]
-            fi0 = (comp * max_comp_rows + local_row) * Wmax
-            W = widths[comp]
-            width = max(0, min(W, component_sizes[comp] - y * W))
-            ci = (0 if comp == 0 else 1) if color_index is None \
-                else color_index(comp)
-            rows.append((comp, ci, width, int(y != seen_first[comp]), fi0))
-            rowmap.append((comp, y, fi0))
-        lane_rows.append(rows)
-        lane_rowmap.append(rowmap)
+    for ri, rq in enumerate(requests):
+        plans, heights, widths, cbase, ncomp = req_geom[ri]
+        color_index = rq.get("color_index")
+        component_sizes = rq["component_sizes"]
+        for plan in plans:
+            seen_first = {}
+            rows = []
+            rowmap = []
+            for comp, y in plan:
+                if comp not in seen_first:
+                    seen_first[comp] = y
+                local_row = y - seen_first[comp]
+                fi0 = (comp * max_comp_rows + local_row) * Wmax
+                W = widths[comp]
+                width = max(0, min(W, component_sizes[comp] - y * W))
+                ci = (0 if comp == 0 else 1) if color_index is None \
+                    else color_index(comp)
+                rows.append((comp, ci, width,
+                             int(y != seen_first[comp]), fi0,
+                             0, cbase + comp))
+                rowmap.append((comp, y, fi0))
+            lane_rows.append(rows)
+            lane_rowmap.append(rowmap)
+            lane_req.append(ri)
 
+    S = _bucket(len(lane_rows), 8)     # dummy lanes: nrows == 0
     Tmax = _bucket(max(1, max(len(r) for r in lane_rows)), 64)
     rowdesc = np.zeros((S, Tmax, LANES), np.int32)
     meta = np.zeros((S, 8), np.int32)
     for s_i, rows in enumerate(lane_rows):
         meta[s_i, 1] = len(rows)
         for t, f in enumerate(rows):
-            rowdesc[s_i, t, :5] = f
+            rowdesc[s_i, t, :7] = f
 
+    all_streams = [b for rq in requests for b in rq["streams"]]
     if coder == "ans":
         # little-endian uint32 words, one per element; meta[s,0] = word
         # count (short trailing bytes zero-fill, like ANSReader)
         word_lists = []
-        for b in streams:
+        for b in all_streams:
             if len(b) % 4:
                 b = b + b"\x00" * (4 - len(b) % 4)
             word_lists.append(np.frombuffer(b, np.uint32))
@@ -857,33 +904,39 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
             meta[s_i, 0] = len(w)
         data = data.view(np.int32)
     else:
-        Lmax = max(1, max(len(b) for b in streams))
+        Lmax = max(1, max(len(b) for b in all_streams))
         Lrows = _bucket((Lmax + LANES - 1) // LANES, 64)
         data = np.zeros((S, Lrows, LANES), np.int32)
-        for s_i, b in enumerate(streams):
+        for s_i, b in enumerate(all_streams):
             arr = np.frombuffer(b, np.uint8).astype(np.int32)
             data[s_i].reshape(-1)[:len(arr)] = arr
             meta[s_i, 0] = len(b)
 
-    q88 = np.zeros((ncomp * 8, LANES), np.int32)
-    qflat = np.zeros((ncomp, LANES), np.int32)
-    icxT = np.zeros((ncomp * 8, LANES), np.int32)
-    icy88 = np.zeros((ncomp * 8, LANES), np.int32)
-    mnt = np.zeros((ncomp, LANES), np.int32)
-    for c in range(ncomp):
-        ct = color_tables[c]
-        q = np.asarray(ct.quant, np.int32)
-        q88[c * 8:(c + 1) * 8, :8] = q.reshape(8, 8)
-        qflat[c, :64] = q
-        ix = np.asarray(ct.icos_idct_edge_8192_dequantized_x, np.int32)
-        # transposed-88: column j = icos_x[j*8 + i]
-        icxT[c * 8:(c + 1) * 8, :8] = ix.reshape(8, 8).T
-        iy = np.asarray(ct.icos_idct_edge_8192_dequantized_y, np.int32)
-        icy88[c * 8:(c + 1) * 8, :8] = iy.reshape(8, 8)
-        mnt[c, :64] = np.asarray(ct.min_noise_threshold, np.int32)
+    q88 = np.zeros((ncomp_tab * 8, LANES), np.int32)
+    qflat = np.zeros((ncomp_tab, LANES), np.int32)
+    icxT = np.zeros((ncomp_tab * 8, LANES), np.int32)
+    icy88 = np.zeros((ncomp_tab * 8, LANES), np.int32)
+    mnt = np.zeros((ncomp_tab, LANES), np.int32)
+    qflat[:, :64] = 1                  # dummy comps: q=1, never read
+    for ri, rq in enumerate(requests):
+        cbase, ncomp = req_geom[ri][3], req_geom[ri][4]
+        for c0 in range(ncomp):
+            c = cbase + c0
+            ct = rq["color_tables"][c0]
+            q = np.asarray(ct.quant, np.int32)
+            q88[c * 8:(c + 1) * 8, :8] = q.reshape(8, 8)
+            qflat[c, :64] = q
+            ix = np.asarray(ct.icos_idct_edge_8192_dequantized_x,
+                            np.int32)
+            # transposed-88: column j = icos_x[j*8 + i]
+            icxT[c * 8:(c + 1) * 8, :8] = ix.reshape(8, 8).T
+            iy = np.asarray(ct.icos_idct_edge_8192_dequantized_y,
+                            np.int32)
+            icy88[c * 8:(c + 1) * 8, :8] = iy.reshape(8, 8)
+            mnt[c, :64] = np.asarray(ct.min_noise_threshold, np.int32)
 
     luts = _build_luts()
-    fn = _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret,
+    fn = _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp_ring, interpret,
                      coder, template is not None)
     args = [
         jnp.asarray(luts), jnp.asarray(meta),
@@ -900,13 +953,21 @@ def decode_segments_pallas(streams, plane_shapes, color_tables, mcuv,
 
     coef_np = np.asarray(coef).reshape(S, n_flat, LANES)[:, :, :64] \
         .astype(np.int16)
-    planes = [np.zeros((heights[c], widths[c], 64), np.int16)
-              for c in range(ncomp)]
-    for s_i, rowmap in enumerate(lane_rowmap):
-        for comp, y, fi0 in rowmap:
-            W = widths[comp]
-            planes[comp][y, :W] = coef_np[s_i, fi0:fi0 + W]
-    return planes, np.asarray(err).astype(bool)
+    err_np = np.asarray(err).astype(bool)
+    out = []
+    s_i = 0
+    for ri, rq in enumerate(requests):
+        _, heights, widths, _, ncomp = req_geom[ri]
+        planes = [np.zeros((heights[c], widths[c], 64), np.int16)
+                  for c in range(ncomp)]
+        nseg = len(rq["streams"])
+        for k in range(nseg):
+            for comp, y, fi0 in lane_rowmap[s_i + k]:
+                W = widths[comp]
+                planes[comp][y, :W] = coef_np[s_i + k, fi0:fi0 + W]
+        out.append((planes, err_np[s_i:s_i + nseg]))
+        s_i += nseg
+    return out
 
 
 from functools import lru_cache

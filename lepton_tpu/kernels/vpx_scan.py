@@ -545,14 +545,18 @@ def model_probs_sorted(idxs: jnp.ndarray, bits: jnp.ndarray,
     if pad_L != L:
         idxs = jnp.pad(idxs, ((0, 0), (0, pad_L - L)), constant_values=PAD)
         bits = jnp.pad(bits, ((0, 0), (0, pad_L - L)))
-    # ONE multi-operand stable sort carries the payloads with the keys
-    # (take_along_axis gathers and argsort are each as expensive as the
-    # sort itself on TPU)
+    # ONE stable sort with a single packed payload (pos<<1 | bit) carries
+    # everything with the key: 2 operands instead of 3 -- a third of the
+    # sort's HBM footprint gone, which is what bounded the lane count per
+    # pool at the 2048-lane knee (take_along_axis gathers and argsort
+    # are each as expensive as the sort itself on TPU)
     pos0 = jnp.broadcast_to(jnp.arange(idxs.shape[1], dtype=jnp.int32),
                             idxs.shape)
-    sidx, sbit, pos = lax.sort(
-        (idxs, bits.astype(jnp.int32), pos0), dimension=1,
-        is_stable=True, num_keys=1)
+    pay0 = (pos0 << 1) | bits.astype(jnp.int32)
+    sidx, spay = lax.sort((idxs, pay0), dimension=1,
+                          is_stable=True, num_keys=1)
+    sbit = spay & 1
+    pos = spay >> 1
     prev = jnp.concatenate(
         [jnp.full((S, 1), -(1 << 30), jnp.int32), sidx[:, :-1]], axis=1)
     newseg = sidx != prev

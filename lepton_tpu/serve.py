@@ -97,11 +97,13 @@ def _process_tpu_batch(reqs, opts) -> None:
 
     reqs: list of [conn, zlib_wrap, data, out] (out filled in place).
     """
-    from .api import batch_compress_tpu, decompress
+    from .api import batch_compress_tpu, batch_decompress_tpu, decompress
     from .cli import _process, sniff
 
     jpegs = [r for r in reqs if sniff(r[2]) == "jpeg"]
-    others = [r for r in reqs if sniff(r[2]) != "jpeg"]
+    leps = [r for r in reqs if sniff(r[2]) == "lepton"]
+    others = [r for r in reqs
+              if sniff(r[2]) not in ("jpeg", "lepton")]
     outs = None
     if jpegs:
         try:
@@ -125,6 +127,16 @@ def _process_tpu_batch(reqs, opts) -> None:
         if not out:
             out = _host_fallback(r[2], opts)
         r[3] = out
+    if leps:
+        # lepton -> JPEG rides one batched device-decode wave too
+        # (socket_serve.cc serves both directions through the same
+        # loop); per-request host fallback on any failure
+        try:
+            decs = batch_decompress_tpu([r[2] for r in leps])
+        except (Exception, SystemExit):
+            decs = [None] * len(leps)
+        for r, out in zip(leps, decs):
+            r[3] = out if out else _host_fallback(r[2], opts)
     for r in others:
         try:
             out, _ = _process(r[2], opts)   # accelerated decode path
@@ -183,24 +195,63 @@ def _process_batch_bounded(reqs, opts) -> None:
 
 
 def _serve_tpu(socks, opts) -> int:
-    """Single-process accelerator serving loop: drains the accept
-    backlog into a batch, transcodes the batch on-chip, replies.  No
-    per-connection fork (the JAX runtime does not survive fork);
-    isolation still holds per batch via the zero-byte contract."""
+    """Single-process accelerator serving loop, WAVE-pipelined (VERDICT
+    r4 item 5): drained requests queue up and are transcoded in waves of
+    LEPTON_TPU_SERVE_WAVE (default 8), each wave replied to as soon as
+    it completes -- p50 latency tracks one wave, not the whole drain,
+    and new connections accepted between waves join the next wave
+    instead of the next drain.  No per-connection fork (the JAX runtime
+    does not survive fork); isolation still holds per wave via the
+    zero-byte contract."""
     import select
     import zlib as _zlib
     # pre-import the transcode modules so fallback forks never take the
     # import lock a hung device thread could hold (_host_fallback_jailed)
     from .cli import _prepare_for_jail
     _prepare_for_jail(dict(opts))
+    wave_n = max(1, int(os.environ.get("LEPTON_TPU_SERVE_WAVE", 8)))
     sys.stderr.write("tpu batch serving enabled\n")
-    while True:
+    import time as _time
+    read_timeout = (opts["timebound_ms"] / 1000.0
+                    if opts.get("timebound_ms") else 10.0)
+
+    def read_request(conn, zw):
+        # a stalled peer must not freeze the whole single-process loop:
+        # bound each request read by WALL CLOCK, not per-recv -- a client
+        # trickling one byte per 9s would never trip a per-recv timeout
+        # (the fork path bounds children via -timebound= setitimer)
+        chunks = []
+        deadline = _time.monotonic() + read_timeout
         try:
-            ready, _, _ = select.select([s for s, _ in socks], [], [],
-                                        None)
+            while True:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    chunks = []     # over budget: drop the request
+                    break
+                conn.settimeout(left)
+                b = conn.recv(65536)
+                if not b:
+                    break
+                chunks.append(b)
+        except OSError:     # includes socket.timeout: drop request
+            chunks = []
+        data = b"".join(chunks)
+        if zw:
+            try:
+                data = _zlib.decompress(data)
+            except Exception:
+                data = b""
+        return data
+
+    pending = []
+    while True:
+        # accept everything currently queued; block only when idle
+        try:
+            ready, _, _ = select.select(
+                [s for s, _ in socks], [], [],
+                0.005 if pending else None)
         except InterruptedError:
             continue
-        batch = []
         while ready:
             for s in ready:
                 zw = next(z for ss, z in socks if ss is s)
@@ -208,50 +259,24 @@ def _serve_tpu(socks, opts) -> int:
                     conn, _ = s.accept()
                 except OSError:
                     continue
-                batch.append((conn, zw))
+                pending.append([conn, zw, read_request(conn, zw), b""])
             try:
                 ready, _, _ = select.select([s for s, _ in socks], [], [],
                                             0.005)
             except InterruptedError:
                 ready = []
-        reqs = []
-        # a stalled peer must not freeze the whole single-process loop:
-        # bound each request read by WALL CLOCK, not per-recv -- a client
-        # trickling one byte per 9s would never trip a per-recv timeout
-        # (the fork path bounds children via -timebound= setitimer)
-        import time as _time
-        read_timeout = (opts["timebound_ms"] / 1000.0
-                        if opts.get("timebound_ms") else 10.0)
-        for conn, zw in batch:
-            chunks = []
-            deadline = _time.monotonic() + read_timeout
-            try:
-                while True:
-                    left = deadline - _time.monotonic()
-                    if left <= 0:
-                        chunks = []     # over budget: drop the request
-                        break
-                    conn.settimeout(left)
-                    b = conn.recv(65536)
-                    if not b:
-                        break
-                    chunks.append(b)
-            except OSError:     # includes socket.timeout: drop request
-                chunks = []
-            data = b"".join(chunks)
-            if zw:
-                try:
-                    data = _zlib.decompress(data)
-                except Exception:
-                    data = b""
-            reqs.append([conn, zw, data, b""])
+        if not pending:
+            continue
+        reqs = pending[:wave_n]
+        del pending[:wave_n]
         try:
             _process_batch_bounded(reqs, opts)
-            # observable batch fill (socket_serve.cc logs per-request;
-            # the batch size is THE serving-efficiency statistic here)
+            # observable wave fill (socket_serve.cc logs per-request;
+            # the wave size is THE serving-efficiency statistic here)
             sys.stderr.write(
                 f"tpu batch served n={len(reqs)} "
-                f"bytes={sum(len(r[2]) for r in reqs)}\n")
+                f"bytes={sum(len(r[2]) for r in reqs)} "
+                f"queued={len(pending)}\n")
             sys.stderr.flush()
         except (Exception, SystemExit) as e:   # keep the server alive
             sys.stderr.write(f"tpu batch failed: {e!r}\n")

@@ -145,3 +145,17 @@ def test_batch_compress_tpu_v3():
     for blob, lep in zip(blobs, leps):
         assert lep == compress(blob, max_threads=4, version=3)
         assert decompress(lep) == blob
+
+
+def test_batch_outcap_overflow_fallback(monkeypatch):
+    """A lane whose coder output exceeds the fused path's static OUTCAP
+    must fall back to the unfused sort-compacted pack and still produce
+    byte-identical containers (the adversarial-input guard)."""
+    from lepton_tpu.api import batch_compress_tpu
+    monkeypatch.setenv("LEPTON_TPU_OUTCAP_DIV", "4096")  # outcap floor
+    # androidcrop's ~32KB-per-lane output far exceeds the 4096 floor
+    blob = open(os.path.join(IMAGES, "androidcrop.jpg"), "rb").read()
+    lep = batch_compress_tpu([blob], num_segments=4)[0]
+    monkeypatch.delenv("LEPTON_TPU_OUTCAP_DIV")
+    assert lep == compress_tpu(blob, num_segments=4)
+    assert decompress(lep) == blob
