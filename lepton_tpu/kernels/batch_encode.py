@@ -53,6 +53,7 @@ from .symbolize import BLOCK_SLOTS
 LEN_BUCKET = 1 << 13                     # lane-length bucket (elements)
 TILE = 128                               # assembly row-gather width
 PACK_T = 512                             # output-compaction tile width
+GROUP_B = 8                              # blocks per level-1 rowpack group
 
 
 def _pool_elems() -> int:
@@ -115,13 +116,21 @@ def _sym_sorted_jit(ci, icx, icy, mnt):
         bc = jnp.sum(valid, axis=3).astype(jnp.int32)     # [G, H, W]
         rc_raw = jnp.sum(bc, axis=2)
         bcmax = jnp.max(bc)
+        # largest GROUP_B-block group count: the level-2 rowpack slice
+        # bound (groups of blocks compact before whole rows do)
+        W = bc.shape[2]
+        W8 = (W + GROUP_B - 1) // GROUP_B * GROUP_B
+        bcp = jnp.pad(bc, ((0, 0), (0, 0), (0, W8 - W)))
+        gcmax = jnp.max(jnp.sum(
+            bcp.reshape(bc.shape[0], bc.shape[1], W8 // GROUP_B, GROUP_B),
+            axis=3))
         # dead slots sort to the end; live slots keep emission order via
         # the position key (unstable sort: the key is already unique)
         pos = jnp.arange(packed.shape[-1], dtype=jnp.int32)
         key = jnp.where(valid, pos, jnp.int32(1 << 30))
         _, slab = lax.sort((key, packed), dimension=3,
                            is_stable=False, num_keys=1)
-        return slab, rc_raw, bcmax
+        return slab, rc_raw, bcmax, gcmax
 
     return jax.jit(f)
 
@@ -147,24 +156,39 @@ def _rowpack_jit():
         import jax.numpy as jnp
         from jax import lax
 
-        @partial(jax.jit, static_argnames=("K", "out_size"))
-        def rowpack(slab, rc_pad, K, out_size):
+        @partial(jax.jit, static_argnames=("K", "K2", "out_size"))
+        def rowpack(slab, rc_pad, K, K2, out_size):
             G, H, W, S_ = slab.shape
             if K <= S_:
                 sl = slab[..., :K]
             else:
                 sl = jnp.pad(slab, ((0, 0),) * 3 + ((0, K - S_),),
                              constant_values=-2)
-            rows = sl.reshape(G * H, W * K)
+            W8 = (W + GROUP_B - 1) // GROUP_B * GROUP_B
+            if W8 != W:
+                sl = jnp.pad(sl, ((0, 0), (0, 0), (0, W8 - W), (0, 0)),
+                             constant_values=-2)
+            # level 1: compact GROUP_B-block groups (narrow sorts are
+            # ~3x faster per element than full-row ones), slice to the
+            # wave's max group count, then level 2 compacts whole rows
+            # over the sliced volume
+            g1 = sl.reshape(G * H * (W8 // GROUP_B), GROUP_B * K)
+            pos1 = jnp.broadcast_to(
+                jnp.arange(GROUP_B * K, dtype=jnp.int32), g1.shape)
+            key1 = jnp.where(g1 >= 0, pos1, jnp.int32(1 << 30))
+            _, g1s = lax.sort((key1, g1), dimension=1,
+                              is_stable=False, num_keys=1)
+            rows = g1s[:, :K2].reshape(G * H, (W8 // GROUP_B) * K2)
             pos = jnp.broadcast_to(
-                jnp.arange(W * K, dtype=jnp.int32), rows.shape)
+                jnp.arange(rows.shape[1], dtype=jnp.int32), rows.shape)
             key = jnp.where(rows >= 0, pos, jnp.int32(1 << 30))
             _, rowsorted = lax.sort((key, rows), dimension=1,
                                     is_stable=False, num_keys=1)
             # 128-tile gather of each row's prefix into the packed part
             rt = rc_pad // TILE                           # [GH] tiles
             run_dst = jnp.cumsum(rt) - rt
-            row_base = jnp.arange(G * H, dtype=jnp.int32) * (W * K // TILE)
+            row_base = jnp.arange(G * H, dtype=jnp.int32) \
+                * (rows.shape[1] // TILE)
             run_off = row_base - run_dst
             prev = jnp.concatenate([jnp.zeros(1, jnp.int32), run_off[:-1]])
             n_t = out_size // TILE
@@ -479,32 +503,36 @@ def encode_images_device(images, window: int = 32, version: int = 1,
 
     packed_parts = []              # device [n_tiles, 128] int32 parts
     base = 0                       # elements
-    pending = []                   # (part, c, H, slab, rc_raw, bcmax)
+    pending = []                   # (part, c, H, slab, rc_raw, bcm, gcm)
     wave_bytes = 0
 
     def drain_wave():
         nonlocal base, wave_bytes
         if not pending:
             return
+        _sync(pending[-1][3], "symbolize", t)
         allc = jnp.concatenate(
-            [jnp.concatenate([p[4].reshape(-1), p[5].reshape(1)])
+            [jnp.concatenate([p[4].reshape(-1), p[5].reshape(1),
+                              p[6].reshape(1)])
              for p in pending])
         allc_host = np.asarray(allc)
         _acct("d2h_bytes", allc_host.nbytes)
         _mark(f"counts-fetch x{len(pending)}", t, "counts_fetch")
         off = 0
-        for part, c, H, slab, _, _2 in pending:
+        for part, c, H, slab, _, _2, _3 in pending:
             n = len(part) * H
             rc_raw = allc_host[off:off + n].reshape(len(part), H)
             bcmax = int(allc_host[off + n])
-            off += n + 1
+            gcmax = int(allc_host[off + n + 1])
+            off += n + 2
             rc_pad = (rc_raw + TILE - 1) & ~(TILE - 1)
             K = min(_bucket(max(bcmax, 1), TILE),
                     _bucket(BLOCK_SLOTS, TILE))
+            K2 = min(_bucket(max(gcmax, 1), TILE), GROUP_B * K)
             total = int(rc_pad.sum())
             size = _bucket(max(total, TILE))
             packed_parts.append(_rowpack_jit()(
-                slab, jnp.asarray(rc_pad.reshape(-1)), K, size))
+                slab, jnp.asarray(rc_pad.reshape(-1)), K, K2, size))
             flat_off = np.zeros(len(part) * H + 1, np.int64)
             flat_off[1:] = np.cumsum(rc_pad.reshape(-1))
             for g, d in enumerate(part):
@@ -543,9 +571,9 @@ def encode_images_device(images, window: int = 32, version: int = 1,
                 _mark(f"host-prep c{c}", t, "host_prep")
                 coefs_dev = jax.device_put(coefs)
                 _acct("h2d_bytes", coefs.nbytes)
-                slab, rcr, bcm = _sym_sorted_jit(ci, icx, icy, mnt)(
+                slab, rcr, bcm, gcm = _sym_sorted_jit(ci, icx, icy, mnt)(
                     coefs_dev, quant, jnp.asarray(rha), jnp.asarray(csv))
-                pending.append((part, c, H, slab, rcr, bcm))
+                pending.append((part, c, H, slab, rcr, bcm, gcm))
                 wave_bytes += len(part) * slab_per
                 _mark(f"dispatch c{c} x{len(part)}", t, "h2d_dispatch")
                 if wave_bytes >= WAVE_LIMIT:
@@ -657,7 +685,7 @@ def encode_images_device(images, window: int = 32, version: int = 1,
             fetches.append(("ans", members, words, flush, nwords, None))
         else:
             outcap = _bucket(
-                Lmax // int(os.environ.get("LEPTON_TPU_OUTCAP_DIV", 6)),
+                Lmax // int(os.environ.get("LEPTON_TPU_OUTCAP_DIV", 8)),
                 1 << 12)
             bytes_u8, mask, nbytes, nbmax = _twopass_fused_jit()(
                 pk, window, outcap, template=tpl_dev)

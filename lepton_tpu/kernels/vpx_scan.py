@@ -593,17 +593,20 @@ def model_probs_sorted(idxs: jnp.ndarray, bits: jnp.ndarray,
             fc = jnp.where(adaptive, fc2, fc)
             tc = jnp.where(adaptive, tc2, tc)
             prob = jnp.where(adaptive, prob2, prob)
-        return (fc, tc, prob), jnp.stack(probs)   # [W, S]
+        # u8 materialization: probs are 1..255, and the scan output +
+        # unsort payload at u8 move a quarter of the int32 bytes
+        return (fc, tc, prob), jnp.stack(probs).astype(jnp.uint8)
 
     ident = (jnp.ones(S, jnp.int32), jnp.ones(S, jnp.int32),
              jnp.full(S, 128, jnp.int32))
-    _, probs_sorted = lax.scan(step, ident, xs)          # [steps, W, S]
+    _, probs_sorted = lax.scan(step, ident, xs)          # [steps, W, S] u8
     probs_sorted = probs_sorted.reshape(pad_L, S).T      # [S, padL]
     # unsort by sorting on the carried original positions (a permutation,
-    # so stability is irrelevant) -- again one sort, no argsort/gather
+    # so stability is irrelevant) -- again one sort, no argsort/gather;
+    # the u8 payload keeps this sort's bandwidth down
     _, probs = lax.sort((pos, probs_sorted), dimension=1,
                         is_stable=False, num_keys=1)
-    return probs[:, :L]
+    return probs[:, :L].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("window",))
