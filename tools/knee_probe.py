@@ -22,6 +22,7 @@ def main():
     ap.add_argument("-n", type=int, default=128)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--segments", type=int, default=16)
+    ap.add_argument("--window", type=int, default=32)
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--profile-only", action="store_true",
                     help="skip the unprofiled warm reps")
@@ -36,7 +37,7 @@ def main():
     from lepton_tpu.kernels.encode_pipeline import LAST_PROFILE
 
     t0 = time.perf_counter()
-    outs = batch_compress_tpu(blobs, num_segments=args.segments)
+    outs = batch_compress_tpu(blobs, num_segments=args.segments, window=args.window)
     cold = time.perf_counter() - t0
     print(f"cold: {cold:.1f}s", flush=True)
 
@@ -44,13 +45,13 @@ def main():
     if not args.profile_only:
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            outs = batch_compress_tpu(blobs, num_segments=args.segments)
+            outs = batch_compress_tpu(blobs, num_segments=args.segments, window=args.window)
             best = min(best, time.perf_counter() - t0)
             print(f"warm: {time.perf_counter() - t0:.1f}s", flush=True)
 
     os.environ["LEPTON_TPU_PROFILE"] = "2"
     t0 = time.perf_counter()
-    batch_compress_tpu(blobs, num_segments=args.segments)
+    batch_compress_tpu(blobs, num_segments=args.segments, window=args.window)
     prof_wall = time.perf_counter() - t0
     os.environ.pop("LEPTON_TPU_PROFILE", None)
     prof = dict(LAST_PROFILE)
