@@ -87,15 +87,20 @@ def _acct(key, nbytes):
     LAST_PROFILE[key] = LAST_PROFILE.get(key, 0) + int(nbytes)
 
 
-@lru_cache(maxsize=64)
-def _sym_sorted_jit(ci, icx, icy, mnt):
-    """One fused jit per color-table constellation: vmapped symbolize ->
-    (branch<<1|bit) packing -> per-block compaction sort -> counts.
+@lru_cache(maxsize=8)
+def _sym_sorted_jit(ci):
+    """One fused jit per color CLASS (0 luma / 1 chroma): vmapped
+    symbolize -> (branch<<1|bit) packing -> per-block compaction sort ->
+    counts.  The color tables (quant, icos edges, noise thresholds) are
+    TRACED operands, not static: one compile serves every quant table at
+    a given geometry -- per-qtable compiles made heterogeneous serving
+    batches recompile per quality level.
 
     Returns (slab int32 [G, H, W, BLOCK_SLOTS] with each block's valid
     symbols as a prefix, rc_raw int32 [G, H] actual per-row symbol
     counts, bcmax int32 scalar = the largest single block's count --
-    the row-compaction slice bound)."""
+    the row-compaction slice bound, gcmax = largest GROUP_B-group
+    count)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -103,12 +108,11 @@ def _sym_sorted_jit(ci, icx, icy, mnt):
     from .symbolize import symbolize_slice
     from .vpx_scan import PAD
 
-    def one(cf, quant, ra, cl):
-        idx, bit = symbolize_slice(cf, ci, quant, icx, icy, mnt,
-                                   jnp.int32(0), cl, ra)
-        return idx, bit
-
-    def f(dc, ac8, esc_pos, esc_val, quant, rha, csv):
+    def f(dc, ac8, esc_pos, esc_val, quant, icx, icy, mnt, rha, csv):
+        def one(cf, quant, ra, cl):
+            idx, bit = symbolize_slice(cf, ci, quant, icx, icy, mnt,
+                                       jnp.int32(0), cl, ra)
+            return idx, bit
         # coefficient transport: DC rides int16, AC rides int8 with an
         # escape list for the rare |coef| > 127 (halves the h2d bytes
         # AND the 1-vCPU host's transport serialization work)
@@ -559,9 +563,11 @@ def encode_images_device(images, window: int = 32, version: int = 1,
             ct = images[members[0]]["color_tables"][c]
             ci = key[c][2]
             H, W = key[c][0][0], key[c][0][1]
-            icx = tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_x)
-            icy = tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_y)
-            mnt = tuple(int(v) for v in ct.min_noise_threshold)
+            icx = jnp.asarray(ct.icos_idct_edge_8192_dequantized_x,
+                              dtype=jnp.int32)
+            icy = jnp.asarray(ct.icos_idct_edge_8192_dequantized_y,
+                              dtype=jnp.int32)
+            mnt = jnp.asarray(ct.min_noise_threshold, dtype=jnp.int32)
             quant = jnp.asarray(ct.quant, dtype=jnp.int32)
             slab_per = H * W * SLAB_BYTES_PER_BLOCK
             chunk = max(1, CHUNK_LIMIT // max(slab_per, 1))
@@ -596,8 +602,9 @@ def encode_images_device(images, window: int = 32, version: int = 1,
                             for a in (dc, ac8, esc_pos, esc_val)]
                 _acct("h2d_bytes", dc.nbytes + ac8.nbytes
                       + esc_pos.nbytes + esc_val.nbytes)
-                slab, rcr, bcm, gcm = _sym_sorted_jit(ci, icx, icy, mnt)(
-                    *args_dev, quant, jnp.asarray(rha), jnp.asarray(csv))
+                slab, rcr, bcm, gcm = _sym_sorted_jit(ci)(
+                    *args_dev, quant, icx, icy, mnt,
+                    jnp.asarray(rha), jnp.asarray(csv))
                 pending.append((part, c, H, slab, rcr, bcm, gcm))
                 wave_bytes += len(part) * slab_per
                 _mark(f"dispatch c{c} x{len(part)}", t, "h2d_dispatch")
@@ -645,45 +652,59 @@ def encode_images_device(images, window: int = 32, version: int = 1,
     S_all = len(lane_tiles)
     _mark("run-plan", t, "run_plan")
 
-    # ---- pools: length-sorted lanes, volume-capped ----
-    order = sorted(range(S_all), key=lambda i: -lane_total[i])
-    # greedy length-adaptive pools: break when the next (shorter) lane
-    # would waste >30% of the pool's padded length, when the pool hits
-    # the lane-scaling knee (~2048 lanes), or when the padded volume
-    # would exceed the HBM-safe per-pool element cap
+    # ---- pools: minimum-padded-volume partition of length-sorted
+    # lanes (exact DP at 8-lane granularity; the r4/r5-greedy versions
+    # left 1.7-1.9x padding on heterogeneous corpora because every tiny
+    # pool rounded up to 32 lanes).  Small pools bucket Lmax to powers
+    # of two so serving waves (arbitrary request mixes) reuse a handful
+    # of compiled shapes instead of compiling per wave composition. ----
     POOL_CAP = _pool_elems()
-    pools = []
-    cur = []
-    for i in order:
-        if not cur:
-            cur = [i]
-        elif len(cur) >= 2048 or \
-                lane_total[i] < 0.70 * lane_total[cur[0]] or \
-                (len(cur) + 32) * lane_total[cur[0]] > POOL_CAP:
-            pools.append(cur)
-            cur = [i]
-        else:
-            cur.append(i)
-    if cur:
-        pools.append(cur)
-    # merge tiny trailing pools forward: a 32-lane dispatch costs as much
-    # as a 64-lane one and tiny lanes barely add padded volume
+    SPB = 8
+    # each pool costs ~3 kernel dispatches and possibly a compile: a
+    # fixed padding-equivalent charge keeps the DP from shaving the
+    # last few percent of padding with a dozen extra pools
+    POOL_FIX = 16 << 20
+
+    def _lmax_bucket(m, lanes):
+        if lanes <= 64:
+            return 1 << max(13, (max(m, 1) - 1).bit_length())
+        return _bucket(m, LEN_BUCKET)
+
+    order = sorted(range(S_all), key=lambda i: -lane_total[i])
+    n = len(order)
+    bounds = list(range(0, n, SPB)) + ([n] if n else [])
+    INF = float("inf")
+    dp = {0: (0, None)}
+    for i in bounds[1:]:
+        best = (INF, None)
+        for j in bounds:
+            if j >= i:
+                break
+            cnt = i - j
+            if cnt > 2048:
+                continue
+            sp = (cnt + SPB - 1) // SPB * SPB
+            lb = _lmax_bucket(lane_total[order[j]], sp)
+            if sp * lb > POOL_CAP and cnt > SPB:
+                continue
+            c = dp[j][0] + sp * lb
+            if c < best[0]:
+                best = (c, j)
+        dp[i] = best
     merged = []
-    for m in pools:
-        if merged and len(merged[-1]) + len(m) <= 2048 and \
-                lane_total[m[0]] * len(m) < 0.1 * lane_total[merged[-1][0]] \
-                * len(merged[-1]) and \
-                len(merged[-1] + m) * lane_total[merged[-1][0]] <= POOL_CAP:
-            merged[-1].extend(m)
-        else:
-            merged.append(m)
+    i = bounds[-1] if bounds else 0
+    while i:
+        j = dp[i][1]
+        merged.append(order[j:i])
+        i = j
+    merged.reverse()
     _acct("symbols", sum(lane_raw))
     _acct("lanes", S_all)
 
     fetches = []
     for members in merged:
-        Sp = (len(members) + 31) // 32 * 32
-        Lmax = _bucket(max(lane_total[i] for i in members), LEN_BUCKET)
+        Sp = (len(members) + SPB - 1) // SPB * SPB
+        Lmax = _lmax_bucket(max(lane_total[i] for i in members), Sp)
         _acct("padded_symbols", Sp * Lmax)
         Tn = Lmax // TILE
         src_rows = np.full((Sp, Tn), padrow_tile, np.int32)

@@ -417,25 +417,29 @@ def phase_a_planar(coefs: jnp.ndarray, quant: jnp.ndarray,
 
     # ---- Lakhani predictions (model.hh:1033-1071)
     sign = [0, 1, -1, 1, -1, 1, -1, 1]
-    icx = np.asarray(icos_x).reshape(8, 8)
-    icy = np.asarray(icos_y).reshape(8, 8)
+    # icos tables are TRACED scalars (not baked constants): one compile
+    # serves every quant table at a geometry.  The exact Lakhani
+    # division by a traced denominator costs a real integer divide, but
+    # per-qtable recompiles cost minutes each through the tunnel.
+    icx = jnp.asarray(icos_x, dtype=jnp.int32).reshape(8, 8)
+    icy = jnp.asarray(icos_y, dtype=jnp.int32).reshape(8, 8)
     lak_cols = []
     for b in range(1, 8):            # horizontal: coord b, needs above
         above_b = [_shift_above(cp[i * 8 + b]) for i in range(8)]
-        pred = above_b[0] * int(icx[b, 0])
+        pred = above_b[0] * icx[b, 0]
         for i in range(1, 8):
-            pred = pred - int(icx[b, i]) * (cp[i * 8 + b]
-                                            + sign[i] * above_b[i])
-        den = int(icx[b, 0])
+            pred = pred - icx[b, i] * (cp[i * 8 + b]
+                                       + sign[i] * above_b[i])
+        den = icx[b, 0]
         pred = jnp.sign(pred) * (jnp.abs(pred) // den)
         lak_cols.append(jnp.where(has_above, pred, 0))
     for b in range(1, 8):            # vertical: coord 8b, needs left
         left_b = [_shift_left(cp[b * 8 + i]) for i in range(8)]
-        pred = left_b[0] * int(icy[b, 0])
+        pred = left_b[0] * icy[b, 0]
         for i in range(1, 8):
-            pred = pred - int(icy[b, i]) * (cp[b * 8 + i]
-                                            + sign[i] * left_b[i])
-        den = int(icy[b, 0])
+            pred = pred - icy[b, i] * (cp[b * 8 + i]
+                                       + sign[i] * left_b[i])
+        den = icy[b, 0]
         pred = jnp.sign(pred) * (jnp.abs(pred) // den)
         lak_cols.append(jnp.where(has_left, pred, 0))
     lak = jnp.stack(lak_cols, axis=-1)

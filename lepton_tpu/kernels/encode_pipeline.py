@@ -104,9 +104,11 @@ def symbolize_image(planes: Sequence[np.ndarray], color_tables,
         idx, bit = symbolize_slice(
             jnp.asarray(planes[c]), ci,
             jnp.asarray(ct.quant, dtype=jnp.int32),
-            tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_x),
-            tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_y),
-            tuple(int(v) for v in ct.min_noise_threshold),
+            jnp.asarray(ct.icos_idct_edge_8192_dequantized_x,
+                        dtype=jnp.int32),
+            jnp.asarray(ct.icos_idct_edge_8192_dequantized_y,
+                        dtype=jnp.int32),
+            jnp.asarray(ct.min_noise_threshold, dtype=jnp.int32),
             jnp.int32(0), jnp.int32(component_sizes[c]),
             jnp.asarray(has_above))
         slabs.append((idx, bit))
@@ -154,20 +156,21 @@ def _bucket(n: int, q: int = 1 << 18) -> int:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=64)
-def _vmapped_symbolize(ci, icx, icy, mnt):
-    """jit(vmap(symbolize_slice)) cached by its static tables -- a fresh
-    closure per call would recompile every batch."""
+@lru_cache(maxsize=8)
+def _vmapped_symbolize(ci):
+    """jit(vmap(symbolize_slice)) cached per color class; the color
+    tables are traced operands (one compile per geometry, not per
+    quant table)."""
     import jax
     import jax.numpy as jnp
 
     from .symbolize import symbolize_slice
 
-    def f(cf, quant, ra, cl):
+    def f(cf, quant, icx, icy, mnt, ra, cl):
         return symbolize_slice(cf, ci, quant, icx, icy, mnt,
                                jnp.int32(0), cl, ra)
 
-    return jax.jit(jax.vmap(f, in_axes=(0, None, 0, 0)))
+    return jax.jit(jax.vmap(f, in_axes=(0, None, None, None, None, 0, 0)))
 
 
 def _assemble_jit():
@@ -328,9 +331,11 @@ def symbolize_image_device(planes, color_tables, mcuv, max_coded_heights,
         idx, bit = symbolize_slice(
             jnp.asarray(planes[c]), ci,
             jnp.asarray(ct.quant, dtype=jnp.int32),
-            tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_x),
-            tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_y),
-            tuple(int(v) for v in ct.min_noise_threshold),
+            jnp.asarray(ct.icos_idct_edge_8192_dequantized_x,
+                        dtype=jnp.int32),
+            jnp.asarray(ct.icos_idct_edge_8192_dequantized_y,
+                        dtype=jnp.int32),
+            jnp.asarray(ct.min_noise_threshold, dtype=jnp.int32),
             jnp.int32(0), jnp.int32(component_sizes[c]),
             jnp.asarray(rha))
         slabs.append((idx, bit, row_symbol_counts(idx)))
@@ -545,9 +550,11 @@ def encode_images_device(images, window: int = 32):
             ct = images[members[0]]["color_tables"][c]
             ci = key[c][2]
             H, W = key[c][0][0], key[c][0][1]
-            icx = tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_x)
-            icy = tuple(int(v) for v in ct.icos_idct_edge_8192_dequantized_y)
-            mnt = tuple(int(v) for v in ct.min_noise_threshold)
+            icx = jnp.asarray(ct.icos_idct_edge_8192_dequantized_x,
+                              dtype=jnp.int32)
+            icy = jnp.asarray(ct.icos_idct_edge_8192_dequantized_y,
+                              dtype=jnp.int32)
+            mnt = jnp.asarray(ct.min_noise_threshold, dtype=jnp.int32)
             quant = jnp.asarray(ct.quant, dtype=jnp.int32)
             # chunk the group so stacked slabs stay within a few GB of HBM
             slab_bytes = H * W * 1400 * 5
@@ -567,9 +574,9 @@ def encode_images_device(images, window: int = 32):
                 mark(f"host-prep g{len(packed_parts) + len(pending)}",
                      key="host_prep")
                 coefs_dev = jnp.asarray(coefs)
-                idx, bit = _vmapped_symbolize(ci, icx, icy, mnt)(
-                    coefs_dev, quant, jnp.asarray(rha),
-                    jnp.asarray(csv))
+                idx, bit = _vmapped_symbolize(ci)(
+                    coefs_dev, quant, icx, icy, mnt,
+                    jnp.asarray(rha), jnp.asarray(csv))
                 cnts = _vcounts_jit()(idx)
                 pending.append((part, c, H, idx, bit, cnts))
                 wave_bytes += len(part) * slab_bytes

@@ -243,7 +243,7 @@ def _extract_lane(v, c):
 
 
 def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder="vpx",
-                  templated=False):
+                  templated=False, multi=False):
     """The decode kernel, specialized on static geometry.
 
     coder "ans" (format v3): data_ref holds little-endian uint32 stream
@@ -451,7 +451,11 @@ def _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder="vpx",
             width = _extract_lane(desc, 2)
             has_above = _extract_lane(desc, 3) != 0
             fi0 = _extract_lane(desc, 4)
-            ctab = _extract_lane(desc, 6)
+            # comp_tab only exists in MULTI-container kernels: the extra
+            # per-row extract measurably slows the single-container
+            # kernel (16.6 -> 9.1 kblocks/s A/B on the v5e), so the
+            # single path keeps the lane-local comp for tables too
+            ctab = _extract_lane(desc, 6) if multi else comp
 
             q88 = q88_ref[pl.ds(ctab * 8, 8), :]
             qflat = qflat_ref[pl.ds(ctab, 1), :]
@@ -878,7 +882,11 @@ def decode_segments_pallas_multi(requests, interpret=False,
             lane_rowmap.append(rowmap)
             lane_req.append(ri)
 
-    S = _bucket(len(lane_rows), 8)     # dummy lanes: nrows == 0
+    # dummy lanes (nrows == 0) bucket the grid for serving-shape reuse;
+    # single-container calls keep the exact segment count (a dummy lane
+    # still pays the arena/coef init writes per grid step)
+    S = _bucket(len(lane_rows), 8) if len(requests) > 1 \
+        else max(1, len(lane_rows))
     Tmax = _bucket(max(1, max(len(r) for r in lane_rows)), 64)
     rowdesc = np.zeros((S, Tmax, LANES), np.int32)
     meta = np.zeros((S, 8), np.int32)
@@ -937,7 +945,8 @@ def decode_segments_pallas_multi(requests, interpret=False,
 
     luts = _build_luts()
     fn = _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp_ring, interpret,
-                     coder, template is not None)
+                     coder, template is not None,
+                     multi=len(requests) > 1)
     args = [
         jnp.asarray(luts), jnp.asarray(meta),
         jnp.asarray(rowdesc.reshape(S * Tmax, LANES)),
@@ -975,12 +984,12 @@ from functools import lru_cache
 
 @lru_cache(maxsize=32)
 def _jit_decode(S, Tmax, Lrows, n_flat, Wmax, ncomp, interpret,
-                coder="vpx", templated=False):
+                coder="vpx", templated=False, multi=False):
     """jit-wrapped pallas_call per static geometry: tracing the (large)
     kernel costs seconds in Python, so it must happen once per shape,
     not per call."""
     kernel = _build_kernel(S, Tmax, Lrows, n_flat, Wmax, ncomp, coder,
-                           templated)
+                           templated, multi)
 
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),        # luts

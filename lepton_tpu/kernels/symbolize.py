@@ -100,11 +100,9 @@ def _tree_bits(value, nbits, base, stride):
     return idx, bit
 
 
-@partial(jax.jit,
-         static_argnames=("ci", "icos_x", "icos_y", "min_noise_threshold"))
+@partial(jax.jit, static_argnames=("ci",))
 def symbolize_slice(coefs: jnp.ndarray, ci: int, quant: jnp.ndarray,
-                    icos_x: tuple, icos_y: tuple,
-                    min_noise_threshold: tuple,
+                    icos_x, icos_y, min_noise_threshold,
                     row_block_offset: jnp.ndarray,
                     size_limit: jnp.ndarray,
                     row_has_above: jnp.ndarray = None):
@@ -112,7 +110,10 @@ def symbolize_slice(coefs: jnp.ndarray, ci: int, quant: jnp.ndarray,
 
     coefs: int16 [R, W, 64] raster coefficients.
     ci: static color index (0 luma / 1 chroma).
-    min_noise_threshold: static 64-tuple from ColorTables.
+    icos_x/icos_y/min_noise_threshold: ColorTables arrays (traced, NOT
+    static: one compile serves every quant table at a given geometry --
+    per-qtable recompiles made heterogeneous serving batches compile
+    per quality level).
     row_has_above: bool [R]; False rows get no above-context (segment-top
     rows -- the is_top_row reset of lepton_codec.hh:173-181).  Default:
     every row but row 0.  Passing the whole plane with segment-start rows
@@ -125,8 +126,8 @@ def symbolize_slice(coefs: jnp.ndarray, ci: int, quant: jnp.ndarray,
     row-major this is the exact serial emission order.
     """
     R, W = coefs.shape[0], coefs.shape[1]
-    icx = np.asarray(icos_x, dtype=np.int32)
-    icy = np.asarray(icos_y, dtype=np.int32)
+    icx = jnp.asarray(icos_x, dtype=jnp.int32)
+    icy = jnp.asarray(icos_y, dtype=jnp.int32)
     pa = phase_a(coefs, quant, icx, icy, row_has_above)
     coefs32 = coefs.astype(jnp.int32)                    # [R, W, 64]
     nz_bin_lut = jnp.asarray(_NZ_BIN_NP)
@@ -248,8 +249,8 @@ def symbolize_slice(coefs: jnp.ndarray, ci: int, quant: jnp.ndarray,
         # residual: threshold-contexted bits above the per-coord noise
         # floor (serial so_far chain, <= 9 bits), then plain noise bits
         # (encoder.cc:131-160)
-        mt = jnp.asarray([int(min_noise_threshold[k]) for k in coords_np],
-                         dtype=jnp.int32)
+        mt = jnp.asarray(min_noise_threshold, dtype=jnp.int32)[
+            jnp.asarray(coords_np)]
         t1 = jnp.minimum(jnp.abs(bp) >> mt, 255)
         t2 = jnp.minimum(length_e - mt, C.RESIDUAL_NOISE_FLOOR)
         thresh_slice = rt_base + t1 * rt1 + t2 * rt2
