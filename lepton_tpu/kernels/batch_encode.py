@@ -509,7 +509,9 @@ def encode_images_device(images, window: int = 32, version: int = 1,
     # wave, then per-part row-sort + tile-gather packing (frees the
     # slab) ----
     SLAB_BYTES_PER_BLOCK = BLOCK_SLOTS * 4
-    WAVE_LIMIT = int(os.environ.get("LEPTON_TPU_WAVE_BYTES", 3 << 30))
+    # bigger waves = fewer counts-fetch round trips (each costs a full
+    # tunnel RTT, 20ms..1.1s depending on the relay's phase)
+    WAVE_LIMIT = int(os.environ.get("LEPTON_TPU_WAVE_BYTES", 6 << 30))
     # per-dispatch slab cap (sort scratch); bigger chunks amortize
     # dispatch overhead, smaller ones bound HBM during the block sort
     CHUNK_LIMIT = int(os.environ.get("LEPTON_TPU_CHUNK_BYTES", 1 << 30))
@@ -660,10 +662,14 @@ def encode_images_device(images, window: int = 32, version: int = 1,
     # of compiled shapes instead of compiling per wave composition. ----
     POOL_CAP = _pool_elems()
     SPB = 8
-    # each pool costs ~3 kernel dispatches and possibly a compile: a
-    # fixed padding-equivalent charge keeps the DP from shaving the
-    # last few percent of padding with a dozen extra pools
-    POOL_FIX = 16 << 20
+    # Each pool is a separate scan sequence (fixed latency ~ its Lmax),
+    # a separate output fetch (one tunnel RTT -- measured 20ms..1.1s
+    # depending on the relay's phase), and possibly a compile.  Charge
+    # every pool ~POOL_LANE_TAX virtual lanes so the DP only splits
+    # when the padding saved outweighs a real per-pool cost; measured
+    # on the knee wave, ~9 near-equal pools ran 2x slower than 2.
+    POOL_LANE_TAX = int(os.environ.get("LEPTON_TPU_POOL_TAX", 256))
+    POOL_RTT_FIX = 8 << 20         # the per-pool output-fetch round trip
 
     def _lmax_bucket(m, lanes):
         if lanes <= 64:
@@ -687,7 +693,7 @@ def encode_images_device(images, window: int = 32, version: int = 1,
             lb = _lmax_bucket(lane_total[order[j]], sp)
             if sp * lb > POOL_CAP and cnt > SPB:
                 continue
-            c = dp[j][0] + sp * lb
+            c = dp[j][0] + (sp + POOL_LANE_TAX) * lb + POOL_RTT_FIX
             if c < best[0]:
                 best = (c, j)
         dp[i] = best

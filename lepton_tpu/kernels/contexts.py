@@ -423,6 +423,26 @@ def phase_a_planar(coefs: jnp.ndarray, quant: jnp.ndarray,
     # per-qtable recompiles cost minutes each through the tunnel.
     icx = jnp.asarray(icos_x, dtype=jnp.int32).reshape(8, 8)
     icy = jnp.asarray(icos_y, dtype=jnp.int32).reshape(8, 8)
+    # exact truncating division on |pred| by the traced denominator via
+    # f32 (a native int32 vector divide lowers to a long emulation
+    # sequence on the VPU).  Unlike vpx_scan._exact_div_f32 (d <= 2^10),
+    # the Lakhani denominator reaches ~2^21, so after the remainder
+    # correction the quotient can still be off by up to 2 (the TPU
+    # divide is not correctly rounded); TWO conditional fixups land it
+    # exactly -- property-tested over the full (n, d) domain.
+
+    def _lak_div(pred, den):
+        n = jnp.abs(pred)
+        d32 = den.astype(jnp.float32)
+        q = (n.astype(jnp.float32) / d32).astype(jnp.int32)
+        r = n - q * den
+        q = q + (r.astype(jnp.float32) / d32).astype(jnp.int32)
+        r = n - q * den
+        q = q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        r = n - q * den
+        q = q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        return jnp.sign(pred) * q
+
     lak_cols = []
     for b in range(1, 8):            # horizontal: coord b, needs above
         above_b = [_shift_above(cp[i * 8 + b]) for i in range(8)]
@@ -430,18 +450,14 @@ def phase_a_planar(coefs: jnp.ndarray, quant: jnp.ndarray,
         for i in range(1, 8):
             pred = pred - icx[b, i] * (cp[i * 8 + b]
                                        + sign[i] * above_b[i])
-        den = icx[b, 0]
-        pred = jnp.sign(pred) * (jnp.abs(pred) // den)
-        lak_cols.append(jnp.where(has_above, pred, 0))
+        lak_cols.append(jnp.where(has_above, _lak_div(pred, icx[b, 0]), 0))
     for b in range(1, 8):            # vertical: coord 8b, needs left
         left_b = [_shift_left(cp[b * 8 + i]) for i in range(8)]
         pred = left_b[0] * icy[b, 0]
         for i in range(1, 8):
             pred = pred - icy[b, i] * (cp[b * 8 + i]
                                        + sign[i] * left_b[i])
-        den = icy[b, 0]
-        pred = jnp.sign(pred) * (jnp.abs(pred) // den)
-        lak_cols.append(jnp.where(has_left, pred, 0))
+        lak_cols.append(jnp.where(has_left, _lak_div(pred, icy[b, 0]), 0))
     lak = jnp.stack(lak_cols, axis=-1)
 
     # ---- DC prediction (model.hh:674-784)

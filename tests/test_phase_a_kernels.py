@@ -133,3 +133,45 @@ def test_phase_a_planar_equals_reference():
     o2 = K.phase_a_planar(jnp.asarray(c), quant, icx, icy)
     for k in o1:
         assert np.array_equal(np.asarray(o1[k]), np.asarray(o2[k])), k
+
+
+def test_lak_div_exact_domain():
+    """The Lakhani f32 divider must equal |n|//d (sign-trunc) over the
+    real domain: |pred| < 2^31, 1 <= d <= ~2^21 (icos edge values reach
+    8192 * dequant).  Random + boundary-adjacent property test."""
+    import jax.numpy as jnp
+    from lepton_tpu.kernels import contexts as K
+
+    rng = np.random.default_rng(42)
+    n = rng.integers(-(2**31 - 1), 2**31 - 1, 200000, dtype=np.int64)
+    d = rng.integers(1, 1 << 21, 200000, dtype=np.int64)
+    # boundary-adjacent cases: n within +-2 of a multiple of d
+    k = rng.integers(0, 1 << 10, 50000)
+    db = rng.integers(1, 1 << 21, 50000)
+    for off in (-2, -1, 0, 1, 2):
+        n = np.concatenate([n, np.clip(k * db + off, -(2**31 - 1),
+                                       2**31 - 1)])
+        d = np.concatenate([d, db])
+    want = np.sign(n) * (np.abs(n) // d)
+
+    import jax
+
+    @jax.jit
+    def f(pred, den):
+        # mirror contexts._lak_div exactly
+        nn = jnp.abs(pred)
+        d32 = den.astype(jnp.float32)
+        q = (nn.astype(jnp.float32) / d32).astype(jnp.int32)
+        r = nn - q * den
+        q = q + (r.astype(jnp.float32) / d32).astype(jnp.int32)
+        r = nn - q * den
+        q = q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        r = nn - q * den
+        q = q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        return jnp.sign(pred) * q
+
+    got = np.asarray(f(jnp.asarray(n.astype(np.int32)),
+                       jnp.asarray(d.astype(np.int32))))
+    bad = np.nonzero(got != want)[0]
+    assert len(bad) == 0, (n[bad[:5]], d[bad[:5]], got[bad[:5]],
+                           want[bad[:5]])
